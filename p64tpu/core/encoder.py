@@ -1,0 +1,322 @@
+"""TPU-native H.261 encoder core: whole frames as tensors, fully on device.
+
+Architecture (SURVEY section 7, redesigned from the reference's scalar MB
+loops -- p64.c p64EncodeSequence/Frame/GOB/MDU, unverified, mount empty):
+
+  per frame (one jitted step, `lax.scan` over frames):
+    1. full-search ME over all MBs at once           (kernels.me)
+    2. vectorized mode decisions                     (control.decisions)
+    3. MC prediction + loop filter, all MBs          (core.predict)
+    4. residual -> batched integer DCT               (kernels.dct)
+    5. `lax.scan` over GOBs: quantizer from the virtual buffer, quantize,
+       CBP/MTYPE/coded masks, EXACT bit cost from the device length model,
+       buffer update                                 (entropy.lengths,
+                                                      control.ratecontrol)
+    6. batched local reconstruction (shared with the decoder)
+  host: a pure serializer walks the emitted symbol tensors into bits
+  (entropy.encode) and MUST produce exactly `total_bits` -- tested.
+
+The only frame-sequential state is the reconstructed reference, the virtual
+buffer, and the forced-update counters, so N independent streams batch
+perfectly with `vmap`/`shard_map` (distrib.mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..control.decisions import DecisionConfig, decide_modes
+from ..control.ratecontrol import (
+    RateConfig,
+    drain_after_frame,
+    drain_skipped,
+    gob_quant,
+    should_skip,
+)
+from ..entropy import lengths
+from ..entropy.encode import FrameSymbols
+from ..kernels.dct import fdct8x8
+from ..kernels.me import full_search
+from ..kernels.quant import quantize
+from ..spec.constants import (
+    DEFAULT_SEARCH_RANGE,
+    MBS_PER_GOB,
+    Format,
+)
+from ..spec.tables import MTYPE_BY_NAME
+from .blocks import (
+    assemble_mb_blocks,
+    luma_to_mbs,
+    transmission_order,
+)
+from .predict import mc_predict
+from .reconstruct import reconstruct_frame
+
+_MT = MTYPE_BY_NAME
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    fmt: Format
+    search: int = DEFAULT_SEARCH_RANGE
+    rate: RateConfig = RateConfig()
+    decisions: DecisionConfig = DecisionConfig()
+    intra_only: bool = False     # no ME / no inter path at all
+    intra_period: int = 0        # >0: force an all-intra frame every N
+
+
+class EncoderState(dict):
+    """Pytree of per-stream sequential state (dict for jax friendliness)."""
+
+
+def init_state(cfg: EncoderConfig) -> Dict[str, jnp.ndarray]:
+    fmt = cfg.fmt
+    return dict(
+        ref_y=jnp.zeros((fmt.height, fmt.width), jnp.uint8),
+        ref_cb=jnp.zeros((fmt.chroma_height, fmt.chroma_width), jnp.uint8),
+        ref_cr=jnp.zeros((fmt.chroma_height, fmt.chroma_width), jnp.uint8),
+        refresh=jnp.zeros(fmt.num_mbs, jnp.int32),
+        buffer=jnp.int32(0),
+        frame_idx=jnp.int32(0),
+    )
+
+
+def _mtype_from_flags(intra, use_mc, fil, has_coef):
+    mt = jnp.full(intra.shape, _MT["inter"], jnp.int32)
+    mt = jnp.where(use_mc & ~fil & has_coef, _MT["inter_mc_coef"], mt)
+    mt = jnp.where(use_mc & ~fil & ~has_coef, _MT["inter_mc"], mt)
+    mt = jnp.where(use_mc & fil & has_coef, _MT["inter_fil_coef"], mt)
+    mt = jnp.where(use_mc & fil & ~has_coef, _MT["inter_fil"], mt)
+    mt = jnp.where(intra, _MT["intra"], mt)
+    return mt
+
+
+def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
+    """The coded-picture body (no skip logic).  Returns (new_state, out)."""
+    fmt = cfg.fmt
+    n_mb = fmt.num_mbs
+    cur_y_i = cur_y.astype(jnp.int32)
+    cur_mbs = luma_to_mbs(cur_y_i)
+
+    force_intra = state["frame_idx"] == 0
+    if cfg.intra_period > 0:
+        force_intra |= state["frame_idx"] % cfg.intra_period == 0
+
+    if cfg.intra_only:
+        intra = jnp.ones(n_mb, bool)
+        use_mc = jnp.zeros(n_mb, bool)
+        fil = jnp.zeros(n_mb, bool)
+        mv = jnp.zeros((n_mb, 2), jnp.int32)
+    else:
+        mv_raw, best_sad, sad0 = full_search(cur_y_i, state["ref_y"],
+                                             cfg.search)
+        pred0 = luma_to_mbs(state["ref_y"].astype(jnp.int32))
+        predmv, _, _ = mc_predict(state["ref_y"], state["ref_cb"],
+                                  state["ref_cr"], mv_raw,
+                                  jnp.zeros(n_mb, bool), fmt)
+        d = decide_modes(cur_mbs, pred0, predmv, sad0, best_sad, mv_raw,
+                         state["refresh"], force_intra, cfg.decisions)
+        intra, use_mc, fil, mv = (d["intra"], d["use_mc"], d["fil"],
+                                  d["mv_out"])
+
+    # final prediction (with filter) and residual -> DCT
+    pred_y, pred_cb, pred_cr = mc_predict(
+        state["ref_y"], state["ref_cb"], state["ref_cr"], mv, fil, fmt)
+    cur_blocks = assemble_mb_blocks(cur_mbs, cur_cb.astype(jnp.int32),
+                                    cur_cr.astype(jnp.int32))
+    pred_blocks = assemble_mb_blocks(pred_y, pred_cb, pred_cr)
+    resid = cur_blocks - jnp.where(intra[:, None, None, None], 0,
+                                   pred_blocks)
+    coefs = fdct8x8(resid)                       # (nMB, 6, 8, 8)
+
+    # ---- per-GOB rate-control scan (transmission order) ----
+    perm = jnp.asarray(transmission_order(fmt))
+    ngob = fmt.num_gobs
+
+    def t(x, *shape):
+        return x[perm].reshape(ngob, MBS_PER_GOB, *shape)
+
+    coefs_t = t(coefs, 6, 8, 8)
+    intra_t = t(intra)
+    mc_t = t(use_mc)
+    fil_t = t(fil)
+    mv_t = t(mv, 2)
+
+    def gob_body(buffer, xs):
+        coefs_g, intra_g, mc_g, fil_g, mv_g = xs
+        q = gob_quant(cfg.rate, buffer)
+        levels = quantize(coefs_g, q, intra_g[:, None, None, None])
+        nzblk = (levels != 0).any(axis=-1)                  # (33, 6)
+        weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
+        cbp = jnp.where(nzblk, weights[None, :], 0).sum(axis=-1)
+        has_coef = cbp > 0
+        mtype = _mtype_from_flags(intra_g, mc_g, fil_g, has_coef)
+        coded = intra_g | mc_g | has_coef
+        # untransmitted coefficient data is zero by construction except for
+        # inter MBs that end up uncoded -- their levels are already zero.
+        levels = jnp.where(coded[:, None, None], levels, 0)
+        bits = lengths.gob_payload_bits(
+            coded, mtype, mv_g, cbp, levels) + lengths.GOB_HEADER_BITS
+        return buffer + bits, (levels, cbp, mtype, coded, q, bits)
+
+    buffer_after, (levels_t, cbp_t, mtype_t, coded_t, gquant, gob_bits) = (
+        jax.lax.scan(gob_body, state["buffer"],
+                     (coefs_t, intra_t, mc_t, fil_t, mv_t)))
+
+    # un-permute back to raster MB order
+    def untp(xt, *shape):
+        flat = xt.reshape(ngob * MBS_PER_GOB, *shape)
+        out = jnp.zeros_like(flat)
+        return out.at[perm].set(flat)
+
+    levels = untp(levels_t, 6, 64).astype(jnp.int16)
+    cbp = untp(cbp_t)
+    mtype = untp(mtype_t)
+    coded = untp(coded_t)
+    total_bits = gob_bits.sum() + lengths.PICTURE_HEADER_BITS
+
+    # ---- local reconstruction (the decoder, shared code) ----
+    gob_idx = jnp.asarray(_gob_of_mb_np(fmt))
+    quant_mb = gquant[gob_idx]
+    rec_y, rec_cb, rec_cr = reconstruct_frame(
+        fmt, levels.astype(jnp.int32), quant_mb, intra & coded, mv,
+        fil & coded, state["ref_y"], state["ref_cb"], state["ref_cr"])
+
+    refresh = jnp.where(coded & intra, 0,
+                        jnp.where(coded, state["refresh"] + 1,
+                                  state["refresh"]))
+    new_state = dict(
+        ref_y=rec_y, ref_cb=rec_cb, ref_cr=rec_cr, refresh=refresh,
+        buffer=drain_after_frame(cfg.rate, buffer_after,
+                                 lengths.PICTURE_HEADER_BITS),
+        frame_idx=state["frame_idx"] + 1,
+    )
+
+    sse_y = jnp.sum((rec_y.astype(jnp.float32) - cur_y.astype(jnp.float32))
+                    ** 2)
+    out = dict(
+        frame_coded=jnp.asarray(True),
+        tr=(state["frame_idx"] & 31).astype(jnp.int32),
+        gquant=gquant.astype(jnp.int32),
+        coded=coded.astype(bool), mtype=mtype.astype(jnp.int32),
+        mv=mv.astype(jnp.int32), cbp=cbp.astype(jnp.int32), levels=levels,
+        total_bits=total_bits.astype(jnp.int32),
+        sse_y=sse_y,
+        recon_y=rec_y, recon_cb=rec_cb, recon_cr=rec_cr,
+    )
+    return new_state, out
+
+
+@functools.lru_cache(maxsize=None)
+def _gob_of_mb_np(fmt: Format) -> np.ndarray:
+    from .blocks import gob_of_mb
+    return gob_of_mb(fmt)
+
+
+def _skip_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
+    fmt = cfg.fmt
+    n_mb = fmt.num_mbs
+    new_state = dict(
+        ref_y=state["ref_y"], ref_cb=state["ref_cb"], ref_cr=state["ref_cr"],
+        refresh=state["refresh"],
+        buffer=drain_skipped(cfg.rate, state["buffer"]),
+        frame_idx=state["frame_idx"] + 1,
+    )
+    out = dict(
+        frame_coded=jnp.asarray(False),
+        tr=(state["frame_idx"] & 31).astype(jnp.int32),
+        gquant=jnp.zeros(fmt.num_gobs, jnp.int32),
+        coded=jnp.zeros(n_mb, bool), mtype=jnp.zeros(n_mb, jnp.int32),
+        mv=jnp.zeros((n_mb, 2), jnp.int32), cbp=jnp.zeros(n_mb, jnp.int32),
+        levels=jnp.zeros((n_mb, 6, 64), jnp.int16),
+        total_bits=jnp.int32(0),
+        sse_y=jnp.sum((state["ref_y"].astype(jnp.float32)
+                       - cur_y.astype(jnp.float32)) ** 2),
+        recon_y=state["ref_y"], recon_cb=state["ref_cb"],
+        recon_cr=state["ref_cr"],
+    )
+    return new_state, out
+
+
+def encode_frame_step(cfg: EncoderConfig, state, frame):
+    """One input frame through the encoder (may be skipped by rate control).
+
+    frame: dict with y (H,W), cb, cr (H/2,W/2) uint8 arrays.
+    """
+    cur_y, cur_cb, cur_cr = frame["y"], frame["cb"], frame["cr"]
+    skip = should_skip(cfg.rate, state["buffer"]) & (state["frame_idx"] > 0)
+    return jax.lax.cond(skip,
+                        lambda s: _skip_picture(cfg, s, cur_y, cur_cb, cur_cr),
+                        lambda s: _encode_picture(cfg, s, cur_y, cur_cb,
+                                                  cur_cr),
+                        state)
+
+
+def encode_sequence(cfg: EncoderConfig, frames, state=None):
+    """Encode a (T, H, W) + chroma sequence with `lax.scan`.
+
+    frames: dict of y (T,H,W), cb (T,H/2,W/2), cr uint8.
+    Returns (final_state, outputs) with outputs stacked along T.
+    """
+    if state is None:
+        state = init_state(cfg)
+
+    def step(carry, fr):
+        return encode_frame_step(cfg, carry, fr)
+
+    return jax.lax.scan(step, state, frames)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def encode_sequence_jit(cfg: EncoderConfig, frames, state):
+    return encode_sequence(cfg, frames, state)
+
+
+# ---------------------------------------------------------------------------
+# host-side finalize
+# ---------------------------------------------------------------------------
+
+
+def outputs_to_symbols(cfg: EncoderConfig, outputs) -> List[FrameSymbols]:
+    """Convert stacked device outputs to host FrameSymbols (coded frames
+    only), ready for entropy.encode.serialize_sequence."""
+    host: Dict[str, np.ndarray] = {k: np.asarray(v) for k, v in
+                                   outputs.items()
+                                   if k not in ("recon_y", "recon_cb",
+                                                "recon_cr")}
+    syms: List[FrameSymbols] = []
+    for i in range(host["frame_coded"].shape[0]):
+        if not host["frame_coded"][i]:
+            continue
+        syms.append(FrameSymbols(
+            tr=int(host["tr"][i]), gquant=host["gquant"][i],
+            coded=host["coded"][i], mtype=host["mtype"][i],
+            mv=host["mv"][i], cbp=host["cbp"][i],
+            levels=host["levels"][i]))
+    return syms
+
+
+def encode_to_bytes(cfg: EncoderConfig, frames,
+                    state=None) -> Tuple[bytes, Any, Any]:
+    """Full pipeline: device encode + host serialize.
+
+    Returns (stream_bytes, outputs, final_state); asserts the serializer
+    emitted exactly the device-predicted bit count.
+    """
+    from ..entropy.encode import serialize_sequence
+    if state is None:
+        state = init_state(cfg)
+    final_state, outputs = encode_sequence_jit(cfg, frames, state)
+    syms = outputs_to_symbols(cfg, outputs)
+    data, nbits = serialize_sequence(cfg.fmt, syms)
+    predicted = int(np.asarray(outputs["total_bits"]).sum())
+    assert nbits == predicted, (
+        f"serializer produced {nbits} bits, device model predicted "
+        f"{predicted} -- length model and serializer have diverged")
+    return data, outputs, final_state

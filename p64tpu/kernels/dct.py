@@ -1,0 +1,92 @@
+"""Batched 8x8 integer DCT / IDCT.
+
+The reference's production transform is an integer Chen DCT whose exact
+fixed-point rounding defines the bitstream (SURVEY section 2: chendct.c
+ChenDct/ChenIDct; the mount was empty this round, so the reference's exact
+constants/shifts could NOT be transplanted -- see SURVEY section 0).  This
+module therefore defines its *own* fully-specified integer transform with the
+same role: deterministic int32 arithmetic, identical on CPU and TPU, shared
+by encoder and decoder so encoder-local reconstruction and decoder output are
+bit-identical by construction.  When the reference mount appears, only the
+constants/shifts in this file need recalibrating for cross-implementation
+bit-exactness.
+
+Definition (documented contract):
+
+  basis   M[u, x] = c(u)/2 * cos((2x+1) u pi / 16),  c(0)=1/sqrt(2), else 1
+  MI      = round(M * 2^13)                          (14-bit signed constants)
+  rshift_round(v, s) = (v + 2^(s-1)) >> s            (arithmetic shift)
+
+  forward:  t = rshift_round(MI @ f,  10)            # keeps 3 fraction bits
+            F = rshift_round(t @ MI^T, 16)           # net scale 1
+  inverse:  t = rshift_round(MI^T @ F, 11)           # keeps 2 fraction bits
+            f = rshift_round(t @ MI,   15)
+
+Worst-case int32 bounds (|f| <= 255 forward, |F| <= 2048 inverse) keep every
+intermediate below 2^30.  Output range: |F| <= 2047 after the caller's clamp;
+inverse output is clamped by the caller during reconstruction.
+
+Implemented as two batched 8x8 integer matmuls over a (N, 8, 8) block tensor:
+on TPU this is VPU work fused by XLA (the per-block FLOP count is tiny; the
+batch dimension provides the parallelism -- SURVEY section 7 "batch all MBs").
+A float64 separable DCT is provided as the test oracle (the reference's
+"ReferenceDct" analogue, dct.c, unverified).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+SCALE_BITS = 13
+FWD_SHIFT1, FWD_SHIFT2 = 10, 16
+INV_SHIFT1, INV_SHIFT2 = 11, 15
+
+
+def _float_basis() -> np.ndarray:
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+#: float64 basis (oracle) and its fixed-point image (production constants).
+M_FLOAT: np.ndarray = _float_basis()
+MI: np.ndarray = np.round(M_FLOAT * (1 << SCALE_BITS)).astype(np.int32)
+
+
+def rshift_round(v: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(v + 2^(s-1)) >> s with arithmetic shift: round-half-up in value."""
+    return (v + (1 << (s - 1))) >> s
+
+
+def fdct8x8(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Forward integer DCT over (..., 8, 8) int32 -> (..., 8, 8) int32."""
+    mi = jnp.asarray(MI, dtype=jnp.int32)
+    t = rshift_round(jnp.einsum("ux,...xy->...uy", mi, blocks.astype(jnp.int32)),
+                     FWD_SHIFT1)
+    return rshift_round(jnp.einsum("...uy,vy->...uv", t, mi), FWD_SHIFT2)
+
+
+def idct8x8(coefs: jnp.ndarray) -> jnp.ndarray:
+    """Inverse integer DCT over (..., 8, 8) int32 -> (..., 8, 8) int32."""
+    mi = jnp.asarray(MI, dtype=jnp.int32)
+    t = rshift_round(jnp.einsum("ux,...uv->...xv", mi, coefs.astype(jnp.int32)),
+                     INV_SHIFT1)
+    return rshift_round(jnp.einsum("...xv,vy->...xy", t, mi), INV_SHIFT2)
+
+
+# ---------------------------------------------------------------------------
+# float64 oracle (test-only; the dct.c "ReferenceDct" analogue)
+# ---------------------------------------------------------------------------
+
+
+def reference_fdct(blocks: np.ndarray) -> np.ndarray:
+    m = M_FLOAT
+    return np.einsum("ux,...xy,vy->...uv", m, blocks.astype(np.float64), m)
+
+
+def reference_idct(coefs: np.ndarray) -> np.ndarray:
+    m = M_FLOAT
+    return np.einsum("ux,...uv,vy->...xy", m, coefs.astype(np.float64), m)

@@ -1,0 +1,108 @@
+"""Full-search integer-pel motion estimation, batched over all macroblocks.
+
+Reference behavior (SURVEY sections 2/3c: me.c BruteMotionEstimation; mount
+empty this round, unverified): exhaustive SAD over a +/-15 window per 16x16
+luma MB, windows clipped so motion vectors never reference pixels outside
+the picture ([SPEC] H.261 section 3.2.1), argmin with a deterministic scan
+order defining tie-breaks.
+
+TPU-native design (SURVEY section 7 "flagship kernel"): instead of the
+reference's quadruple scalar loop, one vectorized sweep -- for each offset
+row dy, compute |cur - shift(ref, dy, dx)| summed per MB for all dx at once,
+scanning dy with `lax.scan` to bound the live intermediate to
+(2*search+1, H, W).  The result is the dense SAD tensor
+(num_offsets, nMB); argmin over the offset axis picks the winner.
+
+Documented choice contract (centralized here for recalibration once the
+reference mount appears -- a different scan order only changes *tie* cases):
+
+  * scan order: dy from -search..+search (outer), dx from -search..+search
+    (inner); `jnp.argmin` keeps the FIRST minimum => strict-< updates in
+    that order.
+  * offsets whose 16x16 window leaves the picture are excluded (SAD = +inf).
+  * no zero-MV bias here; the zero-vs-MC preference is applied by the mode
+    decision layer (p64tpu.control.decisions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..spec.constants import DEFAULT_SEARCH_RANGE, MB_SIZE
+
+
+def offset_table(search: int = DEFAULT_SEARCH_RANGE) -> np.ndarray:
+    """(num_offsets, 2) array of (dy, dx) in the documented scan order."""
+    r = np.arange(-search, search + 1)
+    dy, dx = np.meshgrid(r, r, indexing="ij")
+    return np.stack([dy.ravel(), dx.ravel()], axis=-1).astype(np.int32)
+
+
+def zero_offset_index(search: int = DEFAULT_SEARCH_RANGE) -> int:
+    side = 2 * search + 1
+    return search * side + search
+
+
+def sad_map(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
+            search: int = DEFAULT_SEARCH_RANGE) -> jnp.ndarray:
+    """Dense SAD tensor.
+
+    Args:
+      cur_y, ref_y: (H, W) luma planes (any integer dtype).
+
+    Returns:
+      (num_offsets, nMB) int32; invalid (out-of-picture) offsets are BIG.
+    """
+    h, w = cur_y.shape
+    mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
+    n_mb = mb_rows * mb_cols
+    side = 2 * search + 1
+    cur = cur_y.astype(jnp.int32)
+    ref_pad = jnp.pad(ref_y.astype(jnp.int32), search)
+
+    dxs = jnp.arange(-search, search + 1)
+
+    def row_sads(dy):
+        def one_dx(dx):
+            shifted = jax.lax.dynamic_slice(
+                ref_pad, (search + dy, search + dx), (h, w))
+            ad = jnp.abs(cur - shifted)
+            return ad.reshape(mb_rows, MB_SIZE, mb_cols, MB_SIZE).sum(
+                axis=(1, 3)).reshape(n_mb)
+        return jax.vmap(one_dx)(dxs)  # (side, nMB)
+
+    sads = jax.lax.map(row_sads, jnp.arange(-search, search + 1))
+    sads = sads.reshape(side * side, n_mb)
+
+    # validity: MB top-left (y0, x0); window [y0+dy, y0+dy+16) must be in
+    # [0, h) (same for x).
+    y0 = (jnp.arange(n_mb, dtype=jnp.int32) // mb_cols) * MB_SIZE
+    x0 = (jnp.arange(n_mb, dtype=jnp.int32) % mb_cols) * MB_SIZE
+    offs = jnp.asarray(offset_table(search))
+    oy, ox = offs[:, 0:1], offs[:, 1:2]
+    valid = ((y0[None, :] + oy >= 0) & (y0[None, :] + oy + MB_SIZE <= h)
+             & (x0[None, :] + ox >= 0) & (x0[None, :] + ox + MB_SIZE <= w))
+    big = jnp.int32(1 << 30)
+    return jnp.where(valid, sads, big)
+
+
+def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
+                search: int = DEFAULT_SEARCH_RANGE):
+    """Returns (mv, best_sad, sad0):
+
+      mv:       (nMB, 2) int32 (mvx, mvy) -- horizontal, vertical
+      best_sad: (nMB,) int32 SAD at mv
+      sad0:     (nMB,) int32 SAD at (0, 0)
+    """
+    sads = sad_map(cur_y, ref_y, search)
+    offs = jnp.asarray(offset_table(search))
+    best_idx = jnp.argmin(sads, axis=0)
+    n_mb = sads.shape[1]
+    best_sad = jnp.take_along_axis(sads, best_idx[None, :], axis=0)[0]
+    sad0 = sads[zero_offset_index(search)]
+    dydx = offs[best_idx]
+    mv = jnp.stack([dydx[:, 1], dydx[:, 0]], axis=-1)  # (mvx, mvy)
+    del n_mb
+    return mv, best_sad, sad0

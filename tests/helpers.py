@@ -1,0 +1,56 @@
+"""Shared test helpers: random-but-valid H.261 symbol tensors."""
+
+import numpy as np
+
+from p64tpu.entropy.encode import FrameSymbols
+from p64tpu.spec.constants import Format
+from p64tpu.spec.tables import MTYPE_BY_NAME
+
+
+def random_frame_symbols(fmt: Format, rng: np.random.Generator,
+                         tr: int = 0, p_coded: float = 0.85,
+                         p_intra: float = 0.3) -> FrameSymbols:
+    n = fmt.num_mbs
+    coded = rng.random(n) < p_coded
+    intra = rng.random(n) < p_intra
+    mc = (~intra) & (rng.random(n) < 0.6)
+    fil = mc & (rng.random(n) < 0.5)
+    mv = np.where(mc[:, None], rng.integers(-15, 16, (n, 2)), 0).astype(np.int32)
+
+    levels = np.zeros((n, 6, 64), np.int16)
+    sparse = rng.random((n, 6, 64)) < 0.08
+    vals = rng.integers(-127, 128, (n, 6, 64))
+    vals[vals == 0] = 1
+    levels[sparse] = vals[sparse]
+    # intra DC slot: 1..254
+    dc = rng.integers(1, 255, (n, 6))
+    levels[intra, :, 0] = dc[intra]
+    # make ~half the inter blocks start with +/-1 to exercise the '1s' form
+    first1 = (~intra)[:, None] & (rng.random((n, 6)) < 0.5) & sparse[:, :, 0]
+    levels[:, :, 0] = np.where(first1, rng.choice([-1, 1], (n, 6)),
+                               levels[:, :, 0])
+
+    cbp = np.zeros(n, np.int32)
+    nzblk = (levels != 0).any(axis=-1)
+    for b in range(6):
+        cbp |= nzblk[:, b].astype(np.int32) << (5 - b)
+
+    mtype = np.zeros(n, np.int32)
+    has_coef = cbp > 0
+    mtype[intra] = MTYPE_BY_NAME["intra"]
+    mtype[~intra & ~mc & has_coef] = MTYPE_BY_NAME["inter"]
+    mtype[~intra & mc & ~fil & has_coef] = MTYPE_BY_NAME["inter_mc_coef"]
+    mtype[~intra & mc & fil & has_coef] = MTYPE_BY_NAME["inter_fil_coef"]
+    mtype[~intra & mc & ~fil & ~has_coef] = MTYPE_BY_NAME["inter_mc"]
+    mtype[~intra & mc & fil & ~has_coef] = MTYPE_BY_NAME["inter_fil"]
+    # inter, no mc, no coefficients -> cannot be coded
+    coded &= ~(~intra & ~mc & ~has_coef)
+    # zero out levels of uncoded MBs and of non-tcoeff MTYPEs
+    no_tc = ~coded | (~intra & ~has_coef)
+    levels[no_tc] = 0
+    cbp[~coded] = 0
+    mv[~coded] = 0
+
+    gquant = rng.integers(1, 32, fmt.num_gobs).astype(np.int32)
+    return FrameSymbols(tr=tr, gquant=gquant, coded=coded, mtype=mtype,
+                        mv=mv, cbp=cbp, levels=levels)

@@ -1,0 +1,213 @@
+"""Kernel-level tests: integer DCT vs float oracle, quant/dequant laws,
+loop filter arithmetic, layout transforms, and ME vs a numpy brute force."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from p64tpu.core import blocks
+from p64tpu.kernels import dct, filter as lf, me, quant
+from p64tpu.spec.constants import CIF, QCIF
+
+RNG = np.random.default_rng(0)
+
+
+def test_dct_matches_float_oracle_closely():
+    x = RNG.integers(-255, 256, size=(512, 8, 8), dtype=np.int64)
+    got = np.asarray(dct.fdct8x8(jnp.asarray(x, dtype=jnp.int32)))
+    want = dct.reference_fdct(x)
+    err = np.abs(got - want)
+    assert err.max() <= 1.5, err.max()
+
+
+def test_idct_matches_float_oracle_closely():
+    c = RNG.integers(-2048, 2048, size=(512, 8, 8), dtype=np.int64)
+    got = np.asarray(dct.idct8x8(jnp.asarray(c, dtype=jnp.int32)))
+    want = dct.reference_idct(c)
+    err = np.abs(got - want)
+    assert err.max() <= 2.0, err.max()
+    assert np.mean(err) < 0.5  # typical error well within one LSB
+
+
+def test_dct_idct_roundtrip_small_error():
+    x = RNG.integers(0, 256, size=(256, 8, 8), dtype=np.int64)
+    f = dct.fdct8x8(jnp.asarray(x, dtype=jnp.int32))
+    y = np.asarray(dct.idct8x8(f))
+    assert np.abs(y - x).max() <= 2
+
+
+def test_dct_zero_is_zero():
+    z = jnp.zeros((4, 8, 8), jnp.int32)
+    assert not np.asarray(dct.fdct8x8(z)).any()
+    assert not np.asarray(dct.idct8x8(z)).any()
+
+
+def test_dct_int32_bounds_safe():
+    # worst-case magnitude inputs must not overflow int32 intermediates:
+    # compare against an int64 recomputation.
+    x = np.full((1, 8, 8), 255, dtype=np.int64)
+    x[:, ::2] = -255
+    mi = dct.MI.astype(np.int64)
+    t64 = (np.einsum("ux,nxy->nuy", mi, x) + (1 << 9)) >> 10
+    f64 = (np.einsum("nuy,vy->nuv", t64, mi) + (1 << 15)) >> 16
+    got = np.asarray(dct.fdct8x8(jnp.asarray(x, dtype=jnp.int32)))
+    np.testing.assert_array_equal(got, f64)
+    c = np.where(RNG.integers(0, 2, (8, 8, 8)) > 0, 2047, -2048).astype(np.int64)
+    t64 = (np.einsum("ux,nuv->nxv", mi, c) + (1 << 10)) >> 11
+    y64 = (np.einsum("nxv,vy->nxy", t64, mi) + (1 << 14)) >> 15
+    got = np.asarray(dct.idct8x8(jnp.asarray(c, dtype=jnp.int32)))
+    np.testing.assert_array_equal(got, y64)
+
+
+def test_quant_dequant_laws():
+    q = 7  # odd
+    c = jnp.asarray(np.arange(-300, 301).reshape(-1, 1) *
+                    np.ones((1, 64), np.int64), jnp.int32)
+    c88 = quant.zigzag_unscan(c)
+    lv = quant.quantize(c88, jnp.int32(q), jnp.asarray(False))
+    # dead zone: |coef| < 2q -> 0
+    flat = np.asarray(quant.zigzag_unscan(lv)).reshape(-1, 64)
+    cc = np.asarray(c88).reshape(-1, 64)
+    assert (flat[np.abs(cc) < 2 * q] == 0).all()
+    # reconstruction parity rules
+    rec = np.asarray(quant.dequantize(lv, jnp.int32(q), jnp.asarray(False)))
+    lvl = np.asarray(quant.zigzag_unscan(lv))
+    pos = lvl > 0
+    np.testing.assert_array_equal(rec[pos], q * (2 * lvl[pos] + 1))
+    neg = lvl < 0
+    np.testing.assert_array_equal(rec[neg], q * (2 * lvl[neg] - 1))
+    # even quant: one closer to zero
+    q2 = 8
+    lv2 = quant.quantize(c88, jnp.int32(q2), jnp.asarray(False))
+    rec2 = np.asarray(quant.dequantize(lv2, jnp.int32(q2), jnp.asarray(False)))
+    lvl2 = np.asarray(quant.zigzag_unscan(lv2))
+    pos = lvl2 > 0
+    np.testing.assert_array_equal(rec2[pos], q2 * (2 * lvl2[pos] + 1) - 1)
+
+
+def test_quant_intra_dc():
+    c = np.zeros((5, 8, 8), np.int64)
+    c[:, 0, 0] = [0, 5, 1020, 2040, 4]
+    lv = np.asarray(quant.quantize(jnp.asarray(c, jnp.int32), jnp.int32(10),
+                                   jnp.asarray(True)))
+    # (dc+4)>>3 clamped to 1..254
+    assert lv[:, 0].tolist() == [1, 1, 128, 254, 1]
+    rec = np.asarray(quant.dequantize(jnp.asarray(lv), jnp.int32(10),
+                                      jnp.asarray(True)))
+    assert rec[:, 0, 0].tolist() == [8, 8, 1024, 2032, 8]
+
+
+def test_level_clamp():
+    c = np.zeros((1, 8, 8), np.int64)
+    c[0, 3, 3] = 2047
+    lv = np.asarray(quant.quantize(jnp.asarray(c, jnp.int32), jnp.int32(1),
+                                   jnp.asarray(False)))
+    assert np.abs(lv).max() == 127
+
+
+def test_loop_filter():
+    b = RNG.integers(0, 256, size=(32, 8, 8), dtype=np.int64)
+    got = np.asarray(lf.loop_filter8x8(jnp.asarray(b, jnp.int32)))
+    # numpy oracle, straight from the documented formula
+    h = np.empty_like(b)
+    h[..., 0] = 4 * b[..., 0]
+    h[..., 7] = 4 * b[..., 7]
+    h[..., 1:7] = b[..., :6] + 2 * b[..., 1:7] + b[..., 2:]
+    v = np.empty_like(h)
+    v[..., 0, :] = 4 * h[..., 0, :]
+    v[..., 7, :] = 4 * h[..., 7, :]
+    v[..., 1:7, :] = h[..., :6, :] + 2 * h[..., 1:7, :] + h[..., 2:, :]
+    want = (v + 8) >> 4
+    np.testing.assert_array_equal(got, want)
+    # corners are identity
+    np.testing.assert_array_equal(got[:, 0, 0], b[:, 0, 0])
+    np.testing.assert_array_equal(got[:, 7, 7], b[:, 7, 7])
+    # constant block is a fixed point
+    cst = np.full((1, 8, 8), 77, np.int64)
+    np.testing.assert_array_equal(
+        np.asarray(lf.loop_filter8x8(jnp.asarray(cst, jnp.int32))), cst)
+
+
+def test_layout_roundtrip():
+    for fmt in (QCIF, CIF):
+        y = RNG.integers(0, 256, size=(fmt.height, fmt.width), dtype=np.int64)
+        mbs = blocks.luma_to_mbs(jnp.asarray(y))
+        assert mbs.shape == (fmt.num_mbs, 16, 16)
+        back = np.asarray(blocks.mbs_to_luma(mbs, fmt.height, fmt.width))
+        np.testing.assert_array_equal(back, y)
+        yb = blocks.mb_to_yblocks(mbs)
+        np.testing.assert_array_equal(np.asarray(blocks.yblocks_to_mb(yb)),
+                                      np.asarray(mbs))
+        # block order: Y1 = top-left 8x8 of the MB
+        np.testing.assert_array_equal(np.asarray(yb[0, 0]),
+                                      y[:8, :8])
+        np.testing.assert_array_equal(np.asarray(yb[0, 1]),
+                                      y[:8, 8:16])
+        np.testing.assert_array_equal(np.asarray(yb[0, 2]),
+                                      y[8:16, :8])
+
+
+def test_transmission_order_qcif():
+    perm = blocks.transmission_order(QCIF)
+    assert perm.shape == (99,)
+    assert sorted(perm.tolist()) == list(range(99))
+    # first GOB covers MB rows 0..2, full width; MBA 1 is MB (0,0)
+    assert perm[0] == 0
+    assert perm[10] == 10       # MBA 11 -> (0,10)
+    assert perm[11] == 11       # MBA 12 -> (1,0) = raster 11
+    assert perm[33] == 33       # GOB 2 starts at MB row 3
+
+
+def test_transmission_order_cif():
+    perm = blocks.transmission_order(CIF)
+    assert sorted(perm.tolist()) == list(range(396))
+    # GOB 2 (index 1) is the top-RIGHT GOB: its MBA 1 is raster MB (0, 11)
+    assert perm[33] == 11
+    # GOB 3 (index 2) starts at MB row 3, col 0
+    assert perm[66] == 3 * 22
+
+
+def test_full_search_matches_numpy_bruteforce():
+    fmt = QCIF
+    h, w = 48, 64  # small synthetic picture, multiple MBs
+    ref = RNG.integers(0, 256, size=(h, w), dtype=np.int64)
+    # current = ref shifted by (+3, -2) with noise, so MVs are findable
+    cur = np.roll(np.roll(ref, 3, axis=0), -2, axis=1).copy()
+    cur += RNG.integers(-2, 3, size=cur.shape)
+    cur = np.clip(cur, 0, 255)
+
+    mv, best, sad0 = me.full_search(jnp.asarray(cur), jnp.asarray(ref),
+                                    search=4)
+    mv, best, sad0 = map(np.asarray, (mv, best, sad0))
+
+    offs = me.offset_table(4)
+    n_mb = (h // 16) * (w // 16)
+    for k in range(n_mb):
+        y0, x0 = (k // (w // 16)) * 16, (k % (w // 16)) * 16
+        cmb = cur[y0:y0 + 16, x0:x0 + 16]
+        bs, bmv = None, None
+        s0 = None
+        for dy, dx in offs:
+            yy, xx = y0 + dy, x0 + dx
+            if yy < 0 or xx < 0 or yy + 16 > h or xx + 16 > w:
+                continue
+            s = int(np.abs(cmb - ref[yy:yy + 16, xx:xx + 16]).sum())
+            if dy == 0 and dx == 0:
+                s0 = s
+            if bs is None or s < bs:  # strict <, scan order
+                bs, bmv = s, (dx, dy)
+        assert best[k] == bs
+        assert tuple(mv[k]) == bmv
+        assert sad0[k] == s0
+    del fmt
+
+
+@pytest.mark.parametrize("fmt", [QCIF])
+def test_full_search_edge_clipping(fmt):
+    # identical frames: best MV must be (0,0) everywhere (SAD 0, scan order
+    # reaches (0,0) only via ties -- ensure edge MBs never pick out-of-range)
+    y = RNG.integers(0, 256, size=(fmt.height, fmt.width), dtype=np.int64)
+    mv, best, sad0 = me.full_search(jnp.asarray(y), jnp.asarray(y))
+    assert (np.asarray(best) == 0).all()
+    assert (np.asarray(sad0) == 0).all()

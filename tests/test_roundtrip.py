@@ -1,0 +1,103 @@
+"""End-to-end self-consistency: encode -> serialize -> parse -> device decode
+must reproduce the encoder's own reconstruction EXACTLY (bit-exact planes),
+and the serializer must emit exactly the device-predicted bit count.
+
+This is the round-1 correctness gate (SURVEY section 0: the reference binary
+was unavailable, so own-decoder equivalence replaces reference bitstream
+equality until the mount is populated)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from p64tpu.control.ratecontrol import RateConfig
+from p64tpu.core import decoder, encoder
+from p64tpu.spec.constants import CIF, QCIF
+
+RNG = np.random.default_rng(42)
+
+
+def synthetic_frames(fmt, t, moving=True):
+    """Smooth-ish synthetic video: gradient background + moving blocks +
+    noise (exercises MC, intra/inter and filter paths)."""
+    h, w = fmt.height, fmt.width
+    yy, xx = np.mgrid[0:h, 0:w]
+    ys = []
+    for i in range(t):
+        base = (16 + (xx * 3 + yy * 2) // 8 + 10 * np.sin(i / 2)) % 220
+        if moving:
+            sq = np.zeros_like(base)
+            x0 = (20 + 5 * i) % (w - 40)
+            y0 = (30 + 3 * i) % (h - 40)
+            sq[y0:y0 + 32, x0:x0 + 32] = 60
+            base = base + sq
+        noise = RNG.integers(0, 6, (h, w))
+        ys.append(np.clip(base + noise, 0, 255))
+    y = np.stack(ys).astype(np.uint8)
+    cb = (y[:, ::2, ::2] // 2 + 64).astype(np.uint8)
+    cr = (255 - y[:, 1::2, ::2] // 2).astype(np.uint8)
+    return dict(y=jnp.asarray(y), cb=jnp.asarray(cb), cr=jnp.asarray(cr))
+
+
+def roundtrip(cfg, frames):
+    data, outputs, _ = encoder.encode_to_bytes(cfg, frames)
+    y, cb, cr, parsed = decoder.decode_stream(data)
+
+    coded = np.asarray(outputs["frame_coded"])
+    assert len(parsed) == int(coded.sum())
+    ry = np.asarray(outputs["recon_y"])[coded]
+    rcb = np.asarray(outputs["recon_cb"])[coded]
+    rcr = np.asarray(outputs["recon_cr"])[coded]
+    np.testing.assert_array_equal(y, ry)
+    np.testing.assert_array_equal(cb, rcb)
+    np.testing.assert_array_equal(cr, rcr)
+    return data, outputs, parsed
+
+
+def test_intra_only_qcif_single_frame():
+    cfg = encoder.EncoderConfig(fmt=QCIF, intra_only=True,
+                                rate=RateConfig(fixed_quant=8))
+    frames = synthetic_frames(QCIF, 1)
+    data, outputs, parsed = roundtrip(cfg, frames)
+    assert parsed[0].coded.all() and parsed[0].intra.all()
+    assert (parsed[0].gquant == 8).all()
+    assert len(data) == (int(np.asarray(outputs['total_bits']).sum()) + 7) // 8
+
+
+def test_intra_inter_qcif_sequence():
+    cfg = encoder.EncoderConfig(fmt=QCIF, rate=RateConfig(fixed_quant=12))
+    frames = synthetic_frames(QCIF, 5)
+    data, outputs, parsed = roundtrip(cfg, frames)
+    # frame 0 all intra, later frames should use inter modes
+    assert parsed[0].intra.all()
+    later = parsed[1]
+    assert (~later.intra[later.coded]).any()
+    # at least some MBs should pick motion compensation
+    assert any(p.mc.any() for p in parsed[1:])
+    # PSNR sanity: reconstruction should be reasonably close at q=12
+    sse = float(np.asarray(outputs["sse_y"])[0])
+    mse = sse / (QCIF.width * QCIF.height)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 25, psnr
+
+
+def test_rate_controlled_qcif():
+    rate = RateConfig(bit_rate=256_000, frame_rate=30)
+    cfg = encoder.EncoderConfig(fmt=QCIF, rate=rate)
+    frames = synthetic_frames(QCIF, 6)
+    data, outputs, parsed = roundtrip(cfg, frames)
+    bits = np.asarray(outputs["total_bits"])
+    coded = np.asarray(outputs["frame_coded"])
+    # quantizer should move (buffer feedback) and stay in range
+    gq = np.concatenate([p.gquant for p in parsed])
+    assert gq.min() >= 1 and gq.max() <= 31
+    # steady state should approach the per-frame budget within a loose band
+    assert bits[coded][1:].mean() < 4 * rate.target_bits_per_frame
+
+
+@pytest.mark.slow
+def test_cif_sequence():
+    cfg = encoder.EncoderConfig(fmt=CIF, rate=RateConfig(fixed_quant=16))
+    frames = synthetic_frames(CIF, 3)
+    roundtrip(cfg, frames)
