@@ -107,13 +107,19 @@ def chroma_to_blocks(c: jnp.ndarray) -> jnp.ndarray:
     return plane_to_tiles(c, BLOCK_SIZE)
 
 
+def assemble_blocks(y_mbs: jnp.ndarray, cb_blocks: jnp.ndarray,
+                    cr_blocks: jnp.ndarray) -> jnp.ndarray:
+    """(nMB,16,16) luma MBs + (nMB,8,8) chroma blocks
+    -> (nMB, 6, 8, 8) in transmission block order Y1..Y4, Cb, Cr."""
+    yb = mb_to_yblocks(y_mbs)
+    return jnp.concatenate([yb, cb_blocks[..., None, :, :],
+                            cr_blocks[..., None, :, :]], axis=-3)
+
+
 def assemble_mb_blocks(y_mbs: jnp.ndarray, cb: jnp.ndarray,
                        cr: jnp.ndarray) -> jnp.ndarray:
-    """-> (nMB, 6, 8, 8) in transmission block order Y1..Y4, Cb, Cr."""
-    yb = mb_to_yblocks(y_mbs)
-    cbb = chroma_to_blocks(cb)[..., None, :, :]
-    crb = chroma_to_blocks(cr)[..., None, :, :]
-    return jnp.concatenate([yb, cbb, crb], axis=-3)
+    """Like assemble_blocks but taking chroma PLANES (H/2, W/2)."""
+    return assemble_blocks(y_mbs, chroma_to_blocks(cb), chroma_to_blocks(cr))
 
 
 def mb_positions(fmt: Format) -> np.ndarray:

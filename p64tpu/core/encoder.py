@@ -51,6 +51,7 @@ from ..spec.constants import (
 )
 from ..spec.tables import MTYPE_BY_NAME
 from .blocks import (
+    assemble_blocks,
     assemble_mb_blocks,
     luma_to_mbs,
     transmission_order,
@@ -130,7 +131,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         state["ref_y"], state["ref_cb"], state["ref_cr"], mv, fil, fmt)
     cur_blocks = assemble_mb_blocks(cur_mbs, cur_cb.astype(jnp.int32),
                                     cur_cr.astype(jnp.int32))
-    pred_blocks = assemble_mb_blocks(pred_y, pred_cb, pred_cr)
+    pred_blocks = assemble_blocks(pred_y, pred_cb, pred_cr)
     resid = cur_blocks - jnp.where(intra[:, None, None, None], 0,
                                    pred_blocks)
     coefs = fdct8x8(resid)                       # (nMB, 6, 8, 8)

@@ -52,6 +52,7 @@ _MTYPE_INTRA = luts.MTYPE_INTRA.astype(np.bool_)
 def _exclusive_cummax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Exclusive running max along axis, seeded with the dtype's minimum-ish
     sentinel (-1 suffices for index chains)."""
+    axis = axis % x.ndim
     inc = jax.lax.cummax(x, axis=axis)
     pad = jnp.full_like(jnp.take(inc, jnp.asarray([0]), axis=axis), -1)
     return jnp.concatenate(
