@@ -1,0 +1,138 @@
+"""Command-line driver mirroring the reference's flag semantics.
+
+Reference: single-letter argv flags parsed in main() -- -d decode, -q
+quantizer, -r bit rate, -a/-b frame range, -s stream file, -v verbose
+(SURVEY section 5 "config system"; exact reference letter set is [EST],
+mount empty this round).  Long aliases are provided for every flag.
+
+Examples:
+  encode: python -m p64tpu -s out.p64 -q 8 input.y4m
+          python -m p64tpu -s out.p64 -x QCIF -r 256000 input.yuv
+          python -m p64tpu -s out.p64 -x CIF -a 0 -b 29 /seq/frame_  (PVRG)
+  decode: python -m p64tpu -d -s in.p64 -o out.y4m
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+import numpy as np
+
+from . import stats
+from .control.ratecontrol import RateConfig
+from .core.decoder import decode_stream
+from .core.encoder import EncoderConfig, encode_to_bytes
+from .io import yuv
+from .spec.constants import DEFAULT_SEARCH_RANGE
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="p64tpu",
+        description="TPU-native H.261 (p x 64) encoder/decoder")
+    p.add_argument("-d", "--decode", action="store_true",
+                   help="decode mode (default: encode)")
+    p.add_argument("-s", "--stream", required=True,
+                   help="H.261 stream file (encode: output, decode: input)")
+    p.add_argument("-o", "--output",
+                   help="decode output (.y4m, .yuv, or PVRG prefix)")
+    p.add_argument("-q", "--quant", type=int, default=8,
+                   help="fixed quantizer 1..31 (default 8)")
+    p.add_argument("-r", "--rate", type=int, default=0,
+                   help="bit rate in bit/s; enables rate control")
+    p.add_argument("-f", "--frame-rate", type=int, default=30,
+                   help="input frame rate for rate control (default 30)")
+    p.add_argument("-a", "--first", type=int, default=0,
+                   help="first frame index")
+    p.add_argument("-b", "--last", type=int, default=None,
+                   help="last frame index (inclusive)")
+    p.add_argument("-x", "--format", default=None,
+                   help="picture format CIF or QCIF (raw/PVRG inputs)")
+    p.add_argument("-i", "--search", type=int, default=DEFAULT_SEARCH_RANGE,
+                   help="ME search range 0..15 (0 = intra only)")
+    p.add_argument("-I", "--intra-period", type=int, default=0,
+                   help="force an all-intra frame every N frames")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="per-frame statistics")
+    p.add_argument("input", nargs="?",
+                   help="encode input: .y4m, raw .yuv, or PVRG prefix")
+    return p
+
+
+def run_encode(args) -> int:
+    fmt = yuv.parse_format(args.format) if args.format else None
+    frames, fmt = yuv.load_input(args.input, fmt, args.first, args.last)
+    t = frames["y"].shape[0]
+    if t == 0:
+        print("no input frames", file=sys.stderr)
+        return 1
+    rate = RateConfig(bit_rate=args.rate, frame_rate=args.frame_rate,
+                      fixed_quant=args.quant)
+    cfg = EncoderConfig(fmt=fmt, search=max(args.search, 0), rate=rate,
+                        intra_only=args.search <= 0,
+                        intra_period=args.intra_period)
+    import jax.numpy as jnp
+    dev_frames = {k: jnp.asarray(v) for k, v in frames.items()}
+    data, outputs, _ = encode_to_bytes(cfg, dev_frames)
+    with open(args.stream, "wb") as f:
+        f.write(data)
+    coded = np.asarray(outputs["frame_coded"])
+    bits = np.asarray(outputs["total_bits"])
+    if args.verbose:
+        rec = {k: np.asarray(outputs["recon_" + k]) for k in
+               ("y", "cb", "cr")}
+        for i in range(t):
+            print(stats.frame_report(
+                i, bool(coded[i]), int(bits[i]),
+                {k: rec[k][i] for k in rec},
+                {k: frames[k][i] for k in frames}))
+    print(stats.sequence_report(int(bits.sum()), int(coded.sum()), t,
+                                args.frame_rate))
+    print(f"wrote {len(data)} bytes to {args.stream}")
+    return 0
+
+
+def run_decode(args) -> int:
+    from .entropy.parse import StreamError
+    with open(args.stream, "rb") as f:
+        data = f.read()
+    try:
+        y, cb, cr, parsed = decode_stream(data)
+    except StreamError as e:
+        print(f"p64tpu: invalid H.261 stream: {e}", file=sys.stderr)
+        return 1
+    frames = dict(y=y, cb=cb, cr=cr)
+    out = args.output
+    if not out:
+        print(f"decoded {len(parsed)} frames "
+              f"({parsed[0].fmt.name}); no -o given, not writing", flush=True)
+        return 0
+    if out.endswith(".y4m"):
+        yuv.write_y4m(out, frames)
+    elif out.endswith((".yuv", ".i420", ".raw")):
+        yuv.write_raw(out, frames)
+    else:
+        yuv.write_pvrg(out, frames, args.first)
+    if args.verbose:
+        for i, p in enumerate(parsed):
+            print(f"frame {i:4d}: TR {p.tr:2d} {p.fmt.name} "
+                  f"coded MBs {int(p.coded.sum())}/{p.fmt.num_mbs} "
+                  f"intra {int((p.intra & p.coded).sum())}")
+    print(f"decoded {len(parsed)} frames to {out}")
+    return 0
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.decode:
+        return run_decode(args)
+    if not args.input:
+        print("encode mode needs an input", file=sys.stderr)
+        return 1
+    return run_encode(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
