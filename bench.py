@@ -1,0 +1,108 @@
+"""Headline benchmark: multi-stream CIF encode throughput on one chip.
+
+Prints exactly ONE JSON line:
+  {"metric": "cif_encode_macroblocks_per_sec_per_chip", "value": N,
+   "unit": "MB/s", "vs_baseline": R}
+
+Baseline note: the reference binary could not be measured (its mount was
+empty every session so far -- SURVEY section 0); BASELINE.md's planning
+estimate for single-core reference C is ~1e4 macroblocks/s.  vs_baseline is
+value / 1e4 until a real measurement replaces it (the BASELINE.json north
+star is >= 50x, i.e. vs_baseline >= 50).
+
+Everything (ME +/-15 full search, decisions, DCT, per-GOB on-device rate
+control, reconstruction) runs inside one jitted vmapped scan; the timed
+region is steady-state device execution on pre-staged inputs.
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    streams = int(os.environ.get("P64_BENCH_STREAMS", "16"))
+    frames_t = int(os.environ.get("P64_BENCH_FRAMES", "8"))
+    reps = int(os.environ.get("P64_BENCH_REPS", "3"))
+    quant = int(os.environ.get("P64_BENCH_QUANT", "10"))
+    baseline_mbs = float(os.environ.get("P64_BASELINE_MBS", "1e4"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from p64tpu.control.ratecontrol import RateConfig
+    from p64tpu.core import encoder as enc
+    from p64tpu.spec.constants import CIF
+
+    log(f"backend={jax.default_backend()} devices={jax.device_count()} "
+        f"streams={streams} frames={frames_t} quant={quant}")
+
+    fmt = CIF
+    cfg = enc.EncoderConfig(fmt=fmt, search=15,
+                            rate=RateConfig(fixed_quant=quant))
+
+    # deterministic synthetic content with real motion
+    rng = np.random.default_rng(0)
+    h, w = fmt.height, fmt.width
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((16 + (xx * 3 + yy * 2) // 8) % 200).astype(np.int32)
+    ys = np.empty((streams, frames_t, h, w), np.uint8)
+    for s in range(streams):
+        for t in range(frames_t):
+            b = base.copy()
+            x0 = (10 + 7 * t + 13 * s) % (w - 48)
+            y0 = (20 + 5 * t + 7 * s) % (h - 48)
+            b[y0:y0 + 48, x0:x0 + 48] += 50
+            ys[s, t] = np.clip(b + rng.integers(0, 5, (h, w)), 0, 255)
+    frames = dict(
+        y=jnp.asarray(ys),
+        cb=jnp.asarray((ys[:, :, ::2, ::2] // 2 + 64).astype(np.uint8)),
+        cr=jnp.asarray((255 - ys[:, :, 1::2, ::2] // 2).astype(np.uint8)),
+    )
+
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (streams,) + x.shape),
+        enc.init_state(cfg))
+
+    run = jax.jit(jax.vmap(lambda s, f: enc.encode_sequence(cfg, f, s)))
+
+    t0 = time.time()
+    out = run(states, frames)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.time()
+        out = run(states, frames)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"rep {r}: {dt * 1e3:.1f} ms")
+
+    n_mb = streams * frames_t * fmt.num_mbs
+    mbs = n_mb / best
+    st, o = out
+    log(f"total bits: {int(np.asarray(o['total_bits']).sum())}, "
+        f"{n_mb} MBs in {best * 1e3:.1f} ms")
+    print(json.dumps({
+        "metric": "cif_encode_macroblocks_per_sec_per_chip",
+        "value": round(mbs, 1),
+        "unit": "MB/s",
+        "vs_baseline": round(mbs / baseline_mbs, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -202,7 +202,9 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     sse_y = jnp.sum((rec_y.astype(jnp.float32) - cur_y.astype(jnp.float32))
                     ** 2)
     out = dict(
-        frame_coded=jnp.asarray(True),
+        # derived from traced state for shard_map varying-type parity with
+        # the skip branch (see _skip_picture)
+        frame_coded=(state["buffer"] * 0) == 0,
         tr=(state["frame_idx"] & 31).astype(jnp.int32),
         gquant=gquant.astype(jnp.int32),
         coded=coded.astype(bool), mtype=mtype.astype(jnp.int32),
@@ -223,6 +225,15 @@ def _gob_of_mb_np(fmt: Format) -> np.ndarray:
 def _skip_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     fmt = cfg.fmt
     n_mb = fmt.num_mbs
+    # NOTE: all outputs are derived from traced state so that under
+    # shard_map both lax.cond branches have matching varying-axis types
+    # (fresh constants would be "unvarying" and fail to unify with the
+    # encode branch's stream-varying outputs).
+    tok = (state["buffer"] * 0).astype(jnp.int32)  # varying zero scalar
+
+    def zeros(shape, dtype):
+        return (jnp.zeros(shape, jnp.int32) + tok).astype(dtype)
+
     new_state = dict(
         ref_y=state["ref_y"], ref_cb=state["ref_cb"], ref_cr=state["ref_cr"],
         refresh=state["refresh"],
@@ -230,13 +241,13 @@ def _skip_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         frame_idx=state["frame_idx"] + 1,
     )
     out = dict(
-        frame_coded=jnp.asarray(False),
+        frame_coded=tok > 0,
         tr=(state["frame_idx"] & 31).astype(jnp.int32),
-        gquant=jnp.zeros(fmt.num_gobs, jnp.int32),
-        coded=jnp.zeros(n_mb, bool), mtype=jnp.zeros(n_mb, jnp.int32),
-        mv=jnp.zeros((n_mb, 2), jnp.int32), cbp=jnp.zeros(n_mb, jnp.int32),
-        levels=jnp.zeros((n_mb, 6, 64), jnp.int16),
-        total_bits=jnp.int32(0),
+        gquant=zeros(fmt.num_gobs, jnp.int32),
+        coded=zeros(n_mb, bool), mtype=zeros(n_mb, jnp.int32),
+        mv=zeros((n_mb, 2), jnp.int32), cbp=zeros(n_mb, jnp.int32),
+        levels=zeros((n_mb, 6, 64), jnp.int16),
+        total_bits=tok,
         sse_y=jnp.sum((state["ref_y"].astype(jnp.float32)
                        - cur_y.astype(jnp.float32)) ** 2),
         recon_y=state["ref_y"], recon_cb=state["ref_cb"],
