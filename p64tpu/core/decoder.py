@@ -65,9 +65,19 @@ def decode_frames(frames: List[ParsedFrame], init=None):
     return y, cb, cr
 
 
+def parse_any(data: bytes) -> List[ParsedFrame]:
+    """Parse with the C++ engine when available (identical contract to the
+    Python oracle -- tests/test_native.py), else pure Python."""
+    from ..native import load
+    native = load()
+    if native is not None:
+        return native.parse(data)
+    return parse_stream(data)
+
+
 def decode_stream(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                         List[ParsedFrame]]:
     """bytes -> (y, cb, cr) uint8 arrays (T, ...) + the parsed symbol view."""
-    frames = parse_stream(data)
+    frames = parse_any(data)
     y, cb, cr = decode_frames(frames)
     return np.asarray(y), np.asarray(cb), np.asarray(cr), frames

@@ -189,11 +189,25 @@ def serialize_frame(fmt: Format, sym: FrameSymbols, sink: _SymSink) -> None:
             prev_idx = idx
 
 
-def serialize_sequence(fmt: Format,
-                       frames: Sequence[FrameSymbols]) -> Tuple[bytes, int]:
-    """Pack a whole sequence; returns (bytes, total_bits) where the byte
-    string is zero-padded to a byte boundary at the very end only."""
+def serialize_sequence_py(fmt: Format,
+                          frames: Sequence[FrameSymbols]
+                          ) -> Tuple[bytes, int]:
+    """Pure-Python serializer (the oracle; native path below must match)."""
     sink = _SymSink()
     for sym in frames:
         serialize_frame(fmt, sym, sink)
     return sink.pack()
+
+
+def serialize_sequence(fmt: Format,
+                       frames: Sequence[FrameSymbols]) -> Tuple[bytes, int]:
+    """Pack a whole sequence; returns (bytes, total_bits) where the byte
+    string is zero-padded to a byte boundary at the very end only.
+
+    Uses the C++ engine (p64tpu.native) when available -- byte-identical to
+    the Python path by test contract (tests/test_native.py)."""
+    from ..native import load
+    native = load()
+    if native is not None and frames:
+        return native.serialize(fmt, list(frames))
+    return serialize_sequence_py(fmt, frames)

@@ -1,0 +1,217 @@
+"""ctypes binding for the C++ bit-I/O engine (pybind11 not available in this
+image -- SURVEY environment notes).  Contracts mirror the pure-Python
+implementations exactly; tests assert byte-for-byte equality."""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..spec import luts
+from ..spec.constants import CIF, QCIF, Format, ptype_value
+from ..core.blocks import transmission_order
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libp64bitio.so")
+
+
+class _EncTables(C.Structure):
+    _fields_ = [(n, C.c_void_p) for n in (
+        "mba_code", "mba_len", "mtype_code", "mtype_len", "mtype_flags",
+        "mvd_code", "mvd_len", "cbp_code", "cbp_len",
+        "tc_code", "tc_len", "tc_in")]
+
+
+class _DecTables(C.Structure):
+    _fields_ = [(n, C.c_void_p) for n in (
+        "mba_sym", "mba_nbits", "mtype_sym", "mtype_nbits", "mtype_flags",
+        "mvd_sym", "mvd_nbits", "cbp_sym", "cbp_nbits",
+        "tc_kind_first", "tc_run_first", "tc_level_first", "tc_nbits_first",
+        "tc_kind_next", "tc_run_next", "tc_level_next", "tc_nbits_next")]
+
+
+def _ptr(a: np.ndarray) -> C.c_void_p:
+    return C.c_void_p(a.ctypes.data)
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                       capture_output=True)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+class NativeBitIO:
+    """Wraps libp64bitio.so; hold one instance (tables are retained)."""
+
+    def __init__(self, lib: C.CDLL) -> None:
+        self._lib = lib
+        lib.p64_pack_symbols.restype = C.c_int64
+        lib.p64_serialize.restype = C.c_int64
+        lib.p64_parse.restype = C.c_int64
+
+        # encoder tables (keep references alive)
+        self._enc_arrays = dict(
+            mba_code=luts.MBA_CODE.astype(np.uint32),
+            mba_len=luts.MBA_LEN.astype(np.int32),
+            mtype_code=luts.MTYPE_CODE.astype(np.uint32),
+            mtype_len=luts.MTYPE_LEN.astype(np.int32),
+            mtype_flags=np.stack(
+                [luts.MTYPE_INTRA, luts.MTYPE_MQUANT, luts.MTYPE_MC,
+                 luts.MTYPE_FIL, luts.MTYPE_CBP, luts.MTYPE_TCOEFF],
+                axis=1).astype(np.uint8).copy(),
+            mvd_code=luts.MVD_CODE.astype(np.uint32),
+            mvd_len=luts.MVD_LEN.astype(np.int32),
+            cbp_code=luts.CBP_CODE.astype(np.uint32),
+            cbp_len=luts.CBP_LEN.astype(np.int32),
+            tc_code=luts.TC_CODE.astype(np.uint32).copy(),
+            tc_len=luts.TC_LEN.astype(np.int32).copy(),
+            tc_in=luts.TC_IN_TABLE.astype(np.uint8).copy(),
+        )
+        self._enc_t = _EncTables(**{k: _ptr(v) for k, v in
+                                    self._enc_arrays.items()})
+
+        kf, rf, lf, nf = luts.TC_LUT_FIRST
+        kn, rn, ln, nn = luts.TC_LUT_NEXT
+        self._dec_arrays = dict(
+            mba_sym=luts.MBA_LUT.symbol.astype(np.int32),
+            mba_nbits=luts.MBA_LUT.nbits.astype(np.int32),
+            mtype_sym=luts.MTYPE_LUT.symbol.astype(np.int32),
+            mtype_nbits=luts.MTYPE_LUT.nbits.astype(np.int32),
+            mtype_flags=self._enc_arrays["mtype_flags"],
+            mvd_sym=luts.MVD_LUT.symbol.astype(np.int32),
+            mvd_nbits=luts.MVD_LUT.nbits.astype(np.int32),
+            cbp_sym=luts.CBP_LUT.symbol.astype(np.int32),
+            cbp_nbits=luts.CBP_LUT.nbits.astype(np.int32),
+            tc_kind_first=kf.astype(np.int8), tc_run_first=rf.astype(np.int8),
+            tc_level_first=lf.astype(np.int16),
+            tc_nbits_first=nf.astype(np.int8),
+            tc_kind_next=kn.astype(np.int8), tc_run_next=rn.astype(np.int8),
+            tc_level_next=ln.astype(np.int16),
+            tc_nbits_next=nn.astype(np.int8),
+        )
+        self._dec_t = _DecTables(**{k: _ptr(v) for k, v in
+                                    self._dec_arrays.items()})
+        self._perm_cif = transmission_order(CIF).astype(np.int32)
+        self._perm_qcif = transmission_order(QCIF).astype(np.int32)
+
+    # -- pack --------------------------------------------------------------
+
+    def pack_symbols(self, codes: np.ndarray,
+                     lens: np.ndarray) -> Tuple[bytes, int]:
+        codes = np.ascontiguousarray(codes, dtype=np.uint64)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        cap = int(lens.sum()) // 8 + 16
+        out = np.zeros(cap, np.uint8)
+        n = self._lib.p64_pack_symbols(
+            _ptr(codes), _ptr(lens), C.c_int64(len(codes)), _ptr(out),
+            C.c_int64(cap))
+        if n < 0:
+            raise RuntimeError("pack overflow")
+        return out[: (n + 7) // 8].tobytes(), int(n)
+
+    # -- serialize ---------------------------------------------------------
+
+    def serialize(self, fmt: Format, frames: List) -> Tuple[bytes, int]:
+        """frames: list of entropy.encode.FrameSymbols (coded frames)."""
+        if not frames:
+            return b"", 0
+        n = len(frames)
+        n_mb, n_gob = fmt.num_mbs, fmt.num_gobs
+        tr = np.ascontiguousarray([f.tr for f in frames], np.int32)
+        gq = np.ascontiguousarray(np.stack([f.gquant for f in frames]),
+                                  np.int32)
+        coded = np.ascontiguousarray(np.stack([f.coded for f in frames]),
+                                     np.uint8)
+        mtype = np.ascontiguousarray(np.stack([f.mtype for f in frames]),
+                                     np.int32)
+        mv = np.ascontiguousarray(np.stack([f.mv for f in frames]), np.int32)
+        cbp = np.ascontiguousarray(np.stack([f.cbp for f in frames]),
+                                   np.int32)
+        levels = np.ascontiguousarray(np.stack([f.levels for f in frames]),
+                                      np.int16)
+        perm = transmission_order(fmt).astype(np.int32)
+        gn = np.ascontiguousarray(fmt.gob_numbers, np.int32)
+        # capacity: worst case ~ every coefficient escapes; generous bound
+        cap = int(n) * (64 + n_gob * 40 + int(coded.sum(axis=None)) * 0 +
+                        n_mb * (40 + 6 * (64 * 20 + 10))) // 8 + 1024
+        out = np.zeros(cap, np.uint8)
+        bits = self._lib.p64_serialize(
+            C.byref(self._enc_t), C.c_int64(n), C.c_int32(n_mb),
+            C.c_int32(n_gob), _ptr(gn), _ptr(perm),
+            C.c_int32(ptype_value(fmt.is_cif)), _ptr(tr), _ptr(gq),
+            _ptr(coded), _ptr(mtype), _ptr(mv), _ptr(cbp), _ptr(levels),
+            _ptr(out), C.c_int64(cap))
+        if bits < 0:
+            raise RuntimeError("serialize overflow")
+        return out[: (bits + 7) // 8].tobytes(), int(bits)
+
+    # -- parse -------------------------------------------------------------
+
+    def parse(self, data: bytes, max_frames: int = 4096):
+        """Returns list of entropy.parse.ParsedFrame (same contract as the
+        Python parser)."""
+        from ..entropy.parse import ParsedFrame, StreamError
+        buf = np.frombuffer(data, np.uint8)
+        mf = max_frames
+        out_fmt = np.zeros(mf, np.int32)
+        out_tr = np.zeros(mf, np.int32)
+        out_gq = np.zeros((mf, 12), np.int32)
+        out_coded = np.zeros((mf, 396), np.uint8)
+        out_intra = np.zeros((mf, 396), np.uint8)
+        out_mc = np.zeros((mf, 396), np.uint8)
+        out_fil = np.zeros((mf, 396), np.uint8)
+        out_quant = np.zeros((mf, 396), np.int32)
+        out_mv = np.zeros((mf, 396, 2), np.int32)
+        out_cbp = np.zeros((mf, 396), np.int32)
+        out_levels = np.zeros((mf, 396, 6, 64), np.int16)
+        errpos = C.c_int64(0)
+        n = self._lib.p64_parse(
+            C.byref(self._dec_t), _ptr(buf), C.c_int64(len(data)),
+            C.c_int64(mf), _ptr(self._perm_cif), _ptr(self._perm_qcif),
+            _ptr(out_fmt), _ptr(out_tr), _ptr(out_gq), _ptr(out_coded),
+            _ptr(out_intra), _ptr(out_mc), _ptr(out_fil), _ptr(out_quant),
+            _ptr(out_mv), _ptr(out_cbp), _ptr(out_levels), C.byref(errpos))
+        if n < 0:
+            raise StreamError(f"native parse error {n} at bit {errpos.value}")
+        frames = []
+        for f in range(n):
+            fmt = CIF if out_fmt[f] else QCIF
+            m = fmt.num_mbs
+            frames.append(ParsedFrame(
+                tr=int(out_tr[f]), fmt=fmt,
+                gquant=out_gq[f, :fmt.num_gobs].copy(),
+                coded=out_coded[f, :m].astype(bool),
+                intra=out_intra[f, :m].astype(bool),
+                mc=out_mc[f, :m].astype(bool),
+                fil=out_fil[f, :m].astype(bool),
+                quant=out_quant[f, :m].copy(),
+                mv=out_mv[f, :m].copy(),
+                cbp=out_cbp[f, :m].copy(),
+                levels=out_levels[f, :m].copy()))
+        return frames
+
+
+_cached: Optional[NativeBitIO] = None
+_tried = False
+
+
+def load() -> Optional[NativeBitIO]:
+    """Load (building if needed) the native engine; None if unavailable."""
+    global _cached, _tried
+    if _cached is not None or _tried:
+        return _cached
+    _tried = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        _cached = NativeBitIO(C.CDLL(_SO))
+    except OSError:
+        return None
+    return _cached

@@ -1,0 +1,492 @@
+// Native bit-level H.261 serializer and parser.
+//
+// Role: the reference does its bit I/O one symbol at a time through stdio
+// (SURVEY section 2: stream.c/huffman.c; unverified, mount empty).  In the
+// TPU build the serial bit work is host-side by design; this C++ engine is
+// the production-throughput implementation of the two host passes:
+//
+//   p64_pack_symbols  -- concatenate (code, len) arrays into bytes
+//   p64_serialize     -- dense per-frame symbol tensors -> H.261 bits
+//   p64_parse         -- H.261 bits -> dense per-frame symbol tensors
+//
+// Contracts are IDENTICAL to the pure-Python implementations in
+// p64tpu/entropy/{bitio,encode,parse}.py (which remain the oracle); all VLC
+// tables are passed in from Python so the single source of truth stays in
+// p64tpu/spec/tables.py.  Bound via ctypes (no pybind11 in this image).
+//
+// Build: make -C p64tpu/native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// bit writer
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+  uint8_t* buf;
+  int64_t cap_bits;
+  int64_t pos;  // bits written
+  int overflow;
+};
+
+static inline void bw_put(BitWriter* w, uint64_t value, int nbits) {
+  if (w->pos + nbits > w->cap_bits) {
+    w->overflow = 1;
+    return;
+  }
+  for (int i = nbits - 1; i >= 0; --i) {
+    int64_t p = w->pos++;
+    if ((value >> i) & 1u) w->buf[p >> 3] |= (uint8_t)(0x80u >> (p & 7));
+  }
+}
+
+int64_t p64_pack_symbols(const uint64_t* codes, const int64_t* lens,
+                         int64_t n, uint8_t* out, int64_t out_cap_bytes) {
+  BitWriter w{out, out_cap_bytes * 8, 0, 0};
+  std::memset(out, 0, (size_t)out_cap_bytes);
+  for (int64_t i = 0; i < n; ++i) {
+    if (lens[i] > 0) bw_put(&w, codes[i], (int)lens[i]);
+  }
+  return w.overflow ? -1 : w.pos;
+}
+
+// ---------------------------------------------------------------------------
+// encoder tables (filled from p64tpu.spec.luts by the ctypes layer)
+// ---------------------------------------------------------------------------
+
+struct EncTables {
+  const uint32_t* mba_code;   // [34]
+  const int32_t* mba_len;
+  const uint32_t* mtype_code;  // [10]
+  const int32_t* mtype_len;
+  const uint8_t* mtype_flags;  // [10*6]: intra,mquant,mc,fil,cbp,tcoeff
+  const uint32_t* mvd_code;    // [32] index mvd+16
+  const int32_t* mvd_len;
+  const uint32_t* cbp_code;    // [64]
+  const int32_t* cbp_len;
+  const uint32_t* tc_code;     // [64*128] code WITHOUT sign
+  const int32_t* tc_len;       // [64*128] len WITH sign (20 for escape)
+  const uint8_t* tc_in;        // [64*128] in-table flag
+};
+
+static const int kMbsPerGob = 33;
+
+static inline int wrap_mvd(int d) {
+  if (d < -16) d += 32;
+  else if (d > 15) d -= 32;
+  return d;
+}
+
+static void put_block(BitWriter* w, const EncTables* t,
+                      const int16_t* zz, int intra) {
+  int start = 0;
+  int first_inter = 1;
+  if (intra) {
+    int dc = zz[0];
+    bw_put(w, dc == 128 ? 255u : (uint32_t)dc, 8);
+    start = 1;
+    first_inter = 0;
+  }
+  int prev = start - 1;
+  for (int j = start; j < 64; ++j) {
+    int level = zz[j];
+    if (level == 0) continue;
+    int run = j - prev - 1;
+    prev = j;
+    int alevel = level < 0 ? -level : level;
+    unsigned sign = level < 0 ? 1u : 0u;
+    if (first_inter && run == 0 && alevel == 1) {
+      bw_put(w, (1u << 1) | sign, 2);  // '1s'
+    } else if (alevel < 128 && t->tc_in[run * 128 + alevel]) {
+      bw_put(w, (t->tc_code[run * 128 + alevel] << 1) | sign,
+             t->tc_len[run * 128 + alevel]);
+    } else {
+      // escape: 000001 + 6-bit run + 8-bit two's-complement level
+      uint32_t body = (1u << 14) | ((uint32_t)run << 8)
+                      | ((uint32_t)level & 0xFFu);
+      bw_put(w, body, 20);
+    }
+    first_inter = 0;
+  }
+  bw_put(w, 2u, 2);  // EOB '10'
+}
+
+// Serialize n_frames coded pictures.  All per-MB arrays are in raster MB
+// order with frame stride n_mb; perm maps transmission index -> raster.
+// Returns total bits written, or -1 on buffer overflow.
+int64_t p64_serialize(
+    const EncTables* t,
+    int64_t n_frames, int32_t n_mb, int32_t n_gob,
+    const int32_t* gn_values,        // [n_gob]
+    const int32_t* perm,             // [n_gob*33] -> raster index
+    int32_t ptype,                   // 6-bit PTYPE value
+    const int32_t* tr,               // [n_frames]
+    const int32_t* gquant,           // [n_frames*n_gob]
+    const uint8_t* coded,            // [n_frames*n_mb]
+    const int32_t* mtype,            // [n_frames*n_mb]
+    const int32_t* mv,               // [n_frames*n_mb*2]
+    const int32_t* cbp,              // [n_frames*n_mb]
+    const int16_t* levels,           // [n_frames*n_mb*6*64]
+    uint8_t* out, int64_t out_cap_bytes) {
+  BitWriter w{out, out_cap_bytes * 8, 0, 0};
+  std::memset(out, 0, (size_t)out_cap_bytes);
+  for (int64_t f = 0; f < n_frames; ++f) {
+    const uint8_t* fcoded = coded + f * n_mb;
+    const int32_t* fmtype = mtype + f * n_mb;
+    const int32_t* fmv = mv + f * n_mb * 2;
+    const int32_t* fcbp = cbp + f * n_mb;
+    const int16_t* flev = levels + (int64_t)f * n_mb * 6 * 64;
+
+    bw_put(&w, 0x00010u, 20);            // PSC
+    bw_put(&w, (uint32_t)(tr[f] & 31), 5);
+    bw_put(&w, (uint32_t)ptype, 6);
+    bw_put(&w, 0u, 1);                   // PEI
+
+    for (int g = 0; g < n_gob; ++g) {
+      bw_put(&w, 1u, 16);                // GBSC
+      bw_put(&w, (uint32_t)gn_values[g], 4);
+      bw_put(&w, (uint32_t)gquant[f * n_gob + g], 5);
+      bw_put(&w, 0u, 1);                 // GEI
+
+      int prev_idx = -1;
+      int prev_mvx = 0, prev_mvy = 0;
+      int prev_was_mc = 0;
+      for (int idx = 0; idx < kMbsPerGob; ++idx) {
+        int raster = perm[g * kMbsPerGob + idx];
+        if (!fcoded[raster]) continue;
+        int mt = fmtype[raster];
+        const uint8_t* fl = t->mtype_flags + mt * 6;
+        int gap = idx - prev_idx;
+        bw_put(&w, t->mba_code[gap], t->mba_len[gap]);
+        bw_put(&w, t->mtype_code[mt], t->mtype_len[mt]);
+        if (fl[2]) {  // MC -> MVD pair
+          int px = 0, py = 0;
+          if (idx % 11 != 0 && gap == 1 && prev_was_mc) {
+            px = prev_mvx;
+            py = prev_mvy;
+          }
+          int mvx = fmv[raster * 2], mvy = fmv[raster * 2 + 1];
+          int dx = wrap_mvd(mvx - px), dy = wrap_mvd(mvy - py);
+          bw_put(&w, t->mvd_code[dx + 16], t->mvd_len[dx + 16]);
+          bw_put(&w, t->mvd_code[dy + 16], t->mvd_len[dy + 16]);
+          prev_mvx = mvx;
+          prev_mvy = mvy;
+          prev_was_mc = 1;
+        } else {
+          prev_was_mc = 0;
+        }
+        int intra = fl[0];
+        int blockmask = 0;
+        if (fl[4]) {  // CBP
+          int c = fcbp[raster];
+          bw_put(&w, t->cbp_code[c], t->cbp_len[c]);
+          blockmask = c;
+        } else if (fl[5]) {  // intra: all six blocks
+          blockmask = 63;
+        }
+        for (int b = 0; b < 6; ++b) {
+          if ((blockmask >> (5 - b)) & 1) {
+            put_block(&w, t, flev + (raster * 6 + b) * 64, intra);
+          }
+        }
+        prev_idx = idx;
+      }
+    }
+    if (w.overflow) return -1;
+  }
+  return w.overflow ? -1 : w.pos;
+}
+
+// ---------------------------------------------------------------------------
+// parser
+// ---------------------------------------------------------------------------
+
+struct DecTables {
+  const int32_t* mba_sym;      // [1<<11]
+  const int32_t* mba_nbits;
+  const int32_t* mtype_sym;    // [1<<10]
+  const int32_t* mtype_nbits;
+  const uint8_t* mtype_flags;  // [10*6]
+  const int32_t* mvd_sym;      // [1<<11] symbol = value+16
+  const int32_t* mvd_nbits;
+  const int32_t* cbp_sym;      // [1<<9]
+  const int32_t* cbp_nbits;
+  const int8_t* tc_kind_first;  // [1<<14] 0 coef / 1 eob / 2 esc / 3 invalid
+  const int8_t* tc_run_first;
+  const int16_t* tc_level_first;
+  const int8_t* tc_nbits_first;
+  const int8_t* tc_kind_next;
+  const int8_t* tc_run_next;
+  const int16_t* tc_level_next;
+  const int8_t* tc_nbits_next;
+};
+
+struct BitReader {
+  const uint8_t* buf;
+  int64_t nbits;
+  int64_t pos;
+};
+
+static inline uint32_t br_peek(const BitReader* r, int n) {
+  uint32_t v = 0;
+  int64_t p = r->pos;
+  for (int i = 0; i < n; ++i, ++p) {
+    v <<= 1;
+    if (p < r->nbits) v |= (uint32_t)((r->buf[p >> 3] >> (7 - (p & 7))) & 1);
+  }
+  return v;
+}
+
+static inline uint32_t br_read(BitReader* r, int n) {
+  uint32_t v = br_peek(r, n);
+  r->pos += n;
+  return v;
+}
+
+// error codes
+enum {
+  P64_OK = 0,
+  P64_ERR_NO_PSC = -1,
+  P64_ERR_BAD_CODE = -2,
+  P64_ERR_BAD_GN = -3,
+  P64_ERR_OVERFLOW = -4,
+  P64_ERR_MAXFRAMES = -5,
+  P64_ERR_FORBIDDEN = -6,
+};
+
+static int parse_block(BitReader* r, const DecTables* t, int16_t* zz,
+                       int intra) {
+  int pos = 0;
+  int first = !intra;
+  if (intra) {
+    uint32_t code = br_read(r, 8);
+    if (code == 0 || code == 128) return P64_ERR_FORBIDDEN;
+    zz[0] = (int16_t)(code == 255 ? 128 : code);
+    pos = 1;
+  }
+  for (;;) {
+    if (r->pos >= r->nbits) return P64_ERR_BAD_CODE;
+    uint32_t peek = br_peek(r, 14);
+    const int8_t* kind = first ? t->tc_kind_first : t->tc_kind_next;
+    const int8_t* runs = first ? t->tc_run_first : t->tc_run_next;
+    const int16_t* lvls = first ? t->tc_level_first : t->tc_level_next;
+    const int8_t* nb = first ? t->tc_nbits_first : t->tc_nbits_next;
+    int k = kind[peek];
+    if (k == 3) return P64_ERR_BAD_CODE;
+    if (k == 1) {  // EOB
+      r->pos += 2;
+      return P64_OK;
+    }
+    int run, level;
+    if (k == 2) {  // escape
+      r->pos += 6;
+      run = (int)br_read(r, 6);
+      int lv = (int)br_read(r, 8);
+      if (lv == 0 || lv == 0x80) return P64_ERR_FORBIDDEN;
+      level = lv >= 128 ? lv - 256 : lv;
+    } else {
+      r->pos += nb[peek];
+      run = runs[peek];
+      level = lvls[peek];
+    }
+    pos += run;
+    if (pos > 63) return P64_ERR_BAD_CODE;
+    zz[pos] = (int16_t)level;
+    pos += 1;
+    first = 0;
+    if (pos > 64) return P64_OK;
+  }
+}
+
+static int mv_from_mvd(int pred, int mvd, int* out) {
+  int v = pred + mvd;
+  if (v < -15) v += 32;
+  else if (v > 15) v -= 32;
+  if (v < -15 || v > 15) return P64_ERR_BAD_CODE;
+  *out = v;
+  return P64_OK;
+}
+
+// Parse a whole stream.  Output arrays are preallocated by the caller with
+// capacity max_frames and CIF-sized nMB stride (396); QCIF frames use the
+// first 99 slots.  gn_to_gi maps GN (1..12) -> GOB index for each format;
+// the caller passes perms for both formats.
+//
+// Returns number of frames parsed (>= 0) or a negative error code.
+// out_fmt[f] = 1 for CIF, 0 for QCIF.
+int64_t p64_parse(
+    const DecTables* t,
+    const uint8_t* data, int64_t n_bytes,
+    int64_t max_frames,
+    const int32_t* perm_cif,     // [12*33]
+    const int32_t* perm_qcif,    // [3*33]
+    int32_t* out_fmt,            // [max_frames]
+    int32_t* out_tr,             // [max_frames]
+    int32_t* out_gquant,         // [max_frames*12]
+    uint8_t* out_coded,          // [max_frames*396]
+    uint8_t* out_intra,          // [max_frames*396]
+    uint8_t* out_mc,             // [max_frames*396]
+    uint8_t* out_fil,            // [max_frames*396]
+    int32_t* out_quant,          // [max_frames*396]
+    int32_t* out_mv,             // [max_frames*396*2]
+    int32_t* out_cbp,            // [max_frames*396]
+    int16_t* out_levels,         // [max_frames*396*6*64]
+    int64_t* err_bitpos) {
+  BitReader r{data, n_bytes * 8, 0};
+  *err_bitpos = 0;
+  if (r.nbits < 20 || br_read(&r, 16) != 1 || br_read(&r, 4) != 0) {
+    *err_bitpos = 0;
+    return P64_ERR_NO_PSC;
+  }
+  int64_t f = -1;
+  int more = 1;
+  while (more) {
+    ++f;
+    if (f >= max_frames) return P64_ERR_MAXFRAMES;
+    // picture header (PSC already consumed)
+    out_tr[f] = (int32_t)br_read(&r, 5);
+    uint32_t ptype = br_read(&r, 6);
+    int is_cif = (ptype >> 2) & 1;
+    out_fmt[f] = is_cif;
+    while (br_read(&r, 1)) br_read(&r, 8);  // PEI/PSPARE
+    int n_gob = is_cif ? 12 : 3;
+    const int32_t* perm = is_cif ? perm_cif : perm_qcif;
+
+    // zero this frame's outputs
+    std::memset(out_coded + f * 396, 0, 396);
+    std::memset(out_intra + f * 396, 0, 396);
+    std::memset(out_mc + f * 396, 0, 396);
+    std::memset(out_fil + f * 396, 0, 396);
+    std::memset(out_cbp + f * 396, 0, 396 * 4);
+    std::memset(out_mv + f * 396 * 2, 0, 396 * 2 * 4);
+    std::memset(out_gquant + f * 12, 0, 12 * 4);
+    std::memset(out_levels + (int64_t)f * 396 * 6 * 64, 0,
+                (size_t)396 * 6 * 64 * 2);
+    for (int i = 0; i < 396; ++i) out_quant[f * 396 + i] = 1;
+
+    // GOB loop
+    for (;;) {
+      if (r.nbits - r.pos < 20) { more = 0; break; }
+      if (br_peek(&r, 16) != 1) {
+        if (r.nbits - r.pos < 24 &&
+            br_peek(&r, (int)(r.nbits - r.pos)) == 0) {
+          more = 0;
+          break;  // byte-pad tail
+        }
+        *err_bitpos = r.pos;
+        return P64_ERR_BAD_CODE;
+      }
+      r.pos += 16;
+      uint32_t gn = br_read(&r, 4);
+      if (gn == 0) break;  // next picture
+      int gi = -1;
+      if (is_cif) {
+        if (gn >= 1 && gn <= 12) gi = (int)gn - 1;
+      } else {
+        if (gn == 1) gi = 0;
+        else if (gn == 3) gi = 1;
+        else if (gn == 5) gi = 2;
+      }
+      if (gi < 0) { *err_bitpos = r.pos; return P64_ERR_BAD_GN; }
+      uint32_t gquant = br_read(&r, 5);
+      if (gquant == 0) { *err_bitpos = r.pos; return P64_ERR_FORBIDDEN; }
+      out_gquant[f * 12 + gi] = (int32_t)gquant;
+      while (br_read(&r, 1)) br_read(&r, 8);  // GEI/GSPARE
+      int quant = (int)gquant;
+      int addr = -1;
+      int prev_mvx = 0, prev_mvy = 0, prev_was_mc = 0;
+      // MB loop
+      for (;;) {
+        if (r.nbits - r.pos < 16 || br_peek(&r, 16) == 1) break;
+        if (r.nbits - r.pos < 24 &&
+            br_peek(&r, (int)(r.nbits - r.pos)) == 0) break;
+        uint32_t peek = br_peek(&r, 11);
+        int sym = t->mba_sym[peek];
+        int nb = t->mba_nbits[peek];
+        if (nb == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+        r.pos += nb;
+        if (sym == 34) continue;  // stuffing
+        int gap = sym;
+        addr += gap;
+        if (addr >= kMbsPerGob) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+        int raster = perm[gi * kMbsPerGob + addr];
+        // MTYPE
+        peek = br_peek(&r, 10);
+        int mt = t->mtype_sym[peek];
+        nb = t->mtype_nbits[peek];
+        if (nb == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+        r.pos += nb;
+        const uint8_t* fl = t->mtype_flags + mt * 6;
+        int intra = fl[0];
+        if (fl[1]) {  // MQUANT
+          quant = (int)br_read(&r, 5);
+          if (quant == 0) { *err_bitpos = r.pos; return P64_ERR_FORBIDDEN; }
+        }
+        if (fl[2]) {  // MVD
+          int px = 0, py = 0;
+          if (gap == 1 && addr % 11 != 0 && prev_was_mc) {
+            px = prev_mvx;
+            py = prev_mvy;
+          }
+          int mvx, mvy;
+          peek = br_peek(&r, 11);
+          if (t->mvd_nbits[peek] == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+          r.pos += t->mvd_nbits[peek];
+          if (mv_from_mvd(px, t->mvd_sym[peek] - 16, &mvx) != P64_OK) {
+            *err_bitpos = r.pos;
+            return P64_ERR_BAD_CODE;
+          }
+          peek = br_peek(&r, 11);
+          if (t->mvd_nbits[peek] == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+          r.pos += t->mvd_nbits[peek];
+          if (mv_from_mvd(py, t->mvd_sym[peek] - 16, &mvy) != P64_OK) {
+            *err_bitpos = r.pos;
+            return P64_ERR_BAD_CODE;
+          }
+          out_mv[(f * 396 + raster) * 2] = mvx;
+          out_mv[(f * 396 + raster) * 2 + 1] = mvy;
+          prev_mvx = mvx;
+          prev_mvy = mvy;
+          prev_was_mc = 1;
+          out_mc[f * 396 + raster] = 1;
+          out_fil[f * 396 + raster] = fl[3];
+        } else {
+          prev_was_mc = 0;
+        }
+        int blockmask = 0;
+        int cbp = 0;
+        if (fl[4]) {  // CBP
+          peek = br_peek(&r, 9);
+          cbp = t->cbp_sym[peek];
+          nb = t->cbp_nbits[peek];
+          if (nb == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+          r.pos += nb;
+          blockmask = cbp;
+        } else if (fl[5]) {
+          cbp = 63;
+          blockmask = 63;
+        }
+        out_cbp[f * 396 + raster] = cbp;
+        for (int b = 0; b < 6; ++b) {
+          if ((blockmask >> (5 - b)) & 1) {
+            int rc = parse_block(
+                &r, t,
+                out_levels + (((int64_t)f * 396 + raster) * 6 + b) * 64,
+                intra);
+            if (rc != P64_OK) { *err_bitpos = r.pos; return rc; }
+          }
+        }
+        out_coded[f * 396 + raster] = 1;
+        out_intra[f * 396 + raster] = (uint8_t)intra;
+        out_quant[f * 396 + raster] = quant;
+      }
+      if (!more) break;
+    }
+  }
+  return f + 1;
+}
+
+}  // extern "C"

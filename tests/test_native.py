@@ -1,0 +1,68 @@
+"""Native C++ bit-I/O vs the pure-Python oracle: byte-exact equality on
+packing, frame serialization, and stream parsing."""
+
+import numpy as np
+import pytest
+
+from helpers import random_frame_symbols
+from p64tpu.entropy import encode, parse
+from p64tpu.entropy.bitio import pack_symbols
+from p64tpu.native import load
+from p64tpu.spec.constants import CIF, QCIF
+
+native = load()
+pytestmark = pytest.mark.skipif(native is None,
+                                reason="native lib unavailable")
+
+
+def test_pack_symbols_matches():
+    rng = np.random.default_rng(3)
+    lens = rng.integers(1, 21, 2000)
+    codes = np.array([rng.integers(0, 1 << l) for l in lens], np.uint64)
+    want, wbits = pack_symbols(codes, lens)
+    got, gbits = native.pack_symbols(codes, lens)
+    assert gbits == wbits
+    assert got == want
+
+
+@pytest.mark.parametrize("fmt,seed", [(QCIF, 0), (QCIF, 5), (CIF, 6)])
+def test_serialize_matches_python(fmt, seed):
+    rng = np.random.default_rng(seed)
+    frames = [random_frame_symbols(fmt, rng, tr=t) for t in range(3)]
+    want, wbits = encode.serialize_sequence(fmt, frames)
+    got, gbits = native.serialize(fmt, frames)
+    assert gbits == wbits
+    assert got == want
+
+
+@pytest.mark.parametrize("fmt,seed", [(QCIF, 1), (CIF, 2)])
+def test_parse_matches_python(fmt, seed):
+    rng = np.random.default_rng(seed)
+    frames = [random_frame_symbols(fmt, rng, tr=t) for t in range(2)]
+    data, _ = encode.serialize_sequence(fmt, frames)
+    want = parse.parse_stream(data)
+    got = native.parse(data)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a.fmt is b.fmt and a.tr == b.tr
+        for field in ("gquant", "coded", "intra", "mc", "fil", "quant",
+                      "mv", "cbp", "levels"):
+            np.testing.assert_array_equal(getattr(a, field),
+                                          getattr(b, field), err_msg=field)
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(parse.StreamError):
+        native.parse(b"\xff\xff\xff\xff")
+
+
+def test_native_roundtrip_speed_sanity():
+    # not a benchmark -- just ensures the native path handles a larger CIF
+    # batch quickly and identically
+    rng = np.random.default_rng(11)
+    frames = [random_frame_symbols(CIF, rng, tr=t % 32) for t in range(8)]
+    data_n, bits_n = native.serialize(CIF, frames)
+    data_p, bits_p = encode.serialize_sequence(CIF, frames)
+    assert (bits_n, data_n) == (bits_p, data_p)
+    parsed = native.parse(data_n)
+    assert len(parsed) == 8
