@@ -45,6 +45,48 @@ def zero_offset_index(search: int = DEFAULT_SEARCH_RANGE) -> int:
     return search * side + search
 
 
+def _validity_mask(h, w, n_mb, mb_cols, search):
+    y0 = (jnp.arange(n_mb, dtype=jnp.int32) // mb_cols) * MB_SIZE
+    x0 = (jnp.arange(n_mb, dtype=jnp.int32) % mb_cols) * MB_SIZE
+    offs = jnp.asarray(offset_table(search))
+    oy, ox = offs[:, 0:1], offs[:, 1:2]
+    return ((y0[None, :] + oy >= 0) & (y0[None, :] + oy + MB_SIZE <= h)
+            & (x0[None, :] + ox >= 0) & (x0[None, :] + ox + MB_SIZE <= w))
+
+
+def sad_map_static(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
+                   search: int = DEFAULT_SEARCH_RANGE) -> jnp.ndarray:
+    """Gather-free SAD map: every (dy, dx) shift is a STATIC slice of the
+    padded reference, so XLA lowers the whole sweep to cheap strided loads
+    + fused elementwise + reductions (no gather engines).  This is the
+    production XLA path; `sad_map` (dynamic-slice based) is the simple
+    reference implementation.
+
+    Identical output contract to `sad_map` (tested)."""
+    h, w = cur_y.shape
+    mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
+    n_mb = mb_rows * mb_cols
+    side = 2 * search + 1
+    cur = cur_y.astype(jnp.int16)
+    ref_pad = jnp.pad(ref_y.astype(jnp.int16), search)
+
+    rows = []
+    for dy in range(side):
+        strip = ref_pad[dy:dy + h, :]
+        per_dx = []
+        for dx in range(side):
+            ad = jnp.abs(cur - strip[:, dx:dx + w]).astype(jnp.int32)
+            s = ad.reshape(mb_rows, MB_SIZE, mb_cols, MB_SIZE).sum(
+                axis=(1, 3))
+            per_dx.append(s.reshape(n_mb))
+        rows.append(jnp.stack(per_dx))
+    sads = jnp.concatenate(rows, axis=0)          # (side*side, nMB)
+
+    valid = _validity_mask(h, w, n_mb, mb_cols, search)
+    big = jnp.int32(1 << 30)
+    return jnp.where(valid, sads, big)
+
+
 def sad_map(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
             search: int = DEFAULT_SEARCH_RANGE) -> jnp.ndarray:
     """Dense SAD tensor.

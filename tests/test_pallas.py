@@ -1,0 +1,46 @@
+"""Pallas kernel parity vs the XLA reference implementations (interpret mode
+on CPU; the same kernels compile for real TPU -- exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from p64tpu.kernels import me, me_pallas
+
+RNG = np.random.default_rng(5)
+
+
+@pytest.mark.parametrize("h,w,s", [(48, 64, 4), (144, 176, 7)])
+def test_sad_map_parity(h, w, s):
+    cur = jnp.asarray(RNG.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.asarray(RNG.integers(0, 256, (h, w)), jnp.int32)
+    want = np.asarray(me.sad_map(cur, ref, s))
+    got = np.asarray(me_pallas.sad_map_pallas(cur, ref, s, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_search_parity_including_tiebreaks():
+    # identical frames: every SAD within range ties at many offsets in flat
+    # regions -- argmin scan order must match exactly
+    h, w, s = 48, 64, 4
+    base = RNG.integers(0, 256, (h, w))
+    base[16:32, 16:48] = 128  # flat patch -> guaranteed ties
+    cur = jnp.asarray(base, jnp.int32)
+    ref = jnp.asarray(np.roll(base, 2, axis=1), jnp.int32)
+    mv1, b1, s01 = me.full_search(cur, ref, s)
+    mv2, b2, s02 = me_pallas.full_search_pallas(cur, ref, s, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(s01), np.asarray(s02))
+
+
+def test_sad_map_vmap():
+    h, w, s = 48, 64, 3
+    cur = jnp.asarray(RNG.integers(0, 256, (2, h, w)), jnp.int32)
+    ref = jnp.asarray(RNG.integers(0, 256, (2, h, w)), jnp.int32)
+    got = jax.vmap(lambda c, r: me_pallas.sad_map_pallas(
+        c, r, s, interpret=True))(cur, ref)
+    want = jax.vmap(lambda c, r: me.sad_map(c, r, s))(cur, ref)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
