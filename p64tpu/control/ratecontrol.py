@@ -42,6 +42,15 @@ class RateConfig:
     qoffs: int = 1
     skip_threshold_x: int = 4
     fixed_quant: int = 8
+    #: quantizer the very first GOB should see (seeds the virtual buffer so
+    #: the first intra frame is not coded at QUANT=1 and does not blow the
+    #: budget; RM8-style warm start, calibration-pending)
+    initial_quant: int = 8
+
+    def initial_buffer(self) -> int:
+        if not self.enabled:
+            return 0
+        return max(0, (self.initial_quant - self.qoffs) * self.qdfact)
 
     @property
     def enabled(self) -> bool:

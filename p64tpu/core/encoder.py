@@ -83,7 +83,7 @@ def init_state(cfg: EncoderConfig) -> Dict[str, jnp.ndarray]:
         ref_cb=jnp.zeros((fmt.chroma_height, fmt.chroma_width), jnp.uint8),
         ref_cr=jnp.zeros((fmt.chroma_height, fmt.chroma_width), jnp.uint8),
         refresh=jnp.zeros(fmt.num_mbs, jnp.int32),
-        buffer=jnp.int32(0),
+        buffer=jnp.int32(cfg.rate.initial_buffer()),
         frame_idx=jnp.int32(0),
     )
 

@@ -1,0 +1,65 @@
+"""Checkpoint/resume: an interrupted encode resumed from a checkpoint must
+produce a bitstream byte-identical to the uninterrupted run."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from p64tpu.control.ratecontrol import RateConfig
+from p64tpu.core import encoder as enc
+from p64tpu.entropy.encode import serialize_sequence
+from p64tpu.io import checkpoint
+from p64tpu.spec.constants import QCIF
+
+RNG = np.random.default_rng(21)
+
+
+def _frames(t, fmt=QCIF):
+    h, w = fmt.height, fmt.width
+    y = (RNG.integers(0, 256, (t, h, w), dtype=np.uint8) // 3 + 80).astype(
+        np.uint8)
+    return dict(y=jnp.asarray(y),
+                cb=jnp.asarray(y[:, ::2, ::2]),
+                cr=jnp.asarray(y[:, 1::2, ::2]))
+
+
+def test_resume_bitstream_identical(tmp_path):
+    cfg = enc.EncoderConfig(fmt=QCIF, search=3,
+                            rate=RateConfig(bit_rate=200_000))
+    frames = _frames(6)
+
+    # uninterrupted run
+    data_full, out_full, _ = enc.encode_to_bytes(cfg, frames)
+
+    # run 1: first 3 frames
+    half1 = {k: v[:3] for k, v in frames.items()}
+    st1, out1 = enc.encode_sequence_jit(cfg, half1, enc.init_state(cfg))
+    syms1 = enc.outputs_to_symbols(cfg, out1)
+    bytes1, bits1 = serialize_sequence(cfg.fmt, syms1)
+    ck = str(tmp_path / "ck")
+    checkpoint.save(ck, st1, streams=[bytes1], meta={"frames_done": 3})
+
+    # "new process": resume
+    st_loaded, streams, meta = checkpoint.load(ck)
+    assert meta["frames_done"] == 3
+    half2 = {k: v[3:] for k, v in frames.items()}
+    st2, out2 = enc.encode_sequence_jit(cfg, half2, st_loaded)
+    syms2 = enc.outputs_to_symbols(cfg, out2)
+    bytes2, bits2 = serialize_sequence(cfg.fmt, syms2)
+
+    # bit-level concatenation: both halves were byte-aligned only at their
+    # end; full-run equality needs bit-level concat.  Our serializer pads
+    # only at the very end, so compare via symbols instead when bits1 is
+    # not byte-aligned; here we check the strong property on the symbol
+    # stream and the weak (prefix) property on bytes.
+    total_bits_full = int(np.asarray(out_full["total_bits"]).sum())
+    assert bits1 + bits2 == total_bits_full
+    if bits1 % 8 == 0:
+        assert streams[0] + bytes2 == data_full
+    else:
+        assert data_full[: bits1 // 8] == streams[0][: bits1 // 8]
+
+    # device state equality => all later frames encode identically
+    for k in ("coded", "mtype", "mv", "cbp", "levels", "gquant"):
+        np.testing.assert_array_equal(
+            np.asarray(out2[k]), np.asarray(out_full[k])[3:], err_msg=k)

@@ -1,0 +1,48 @@
+"""CLI end-to-end: encode/decode through the argparse surface (CPU)."""
+
+import numpy as np
+
+from p64tpu.cli import main
+from p64tpu.io import yuv
+from p64tpu.spec.constants import QCIF
+from p64tpu.stats import psnr
+
+RNG = np.random.default_rng(4)
+
+
+def _write_y4m(path, t=3):
+    h, w = QCIF.height, QCIF.width
+    y = (RNG.integers(0, 64, (t, h, w)) + 96).astype(np.uint8)
+    frames = dict(y=y, cb=y[:, ::2, ::2], cr=y[:, 1::2, ::2])
+    yuv.write_y4m(str(path), frames)
+    return frames
+
+
+def test_cli_encode_decode_roundtrip(tmp_path, capsys):
+    inp = tmp_path / "in.y4m"
+    stream = tmp_path / "out.p64"
+    dec = tmp_path / "dec.y4m"
+    src = _write_y4m(inp)
+    assert main(["-s", str(stream), "-q", "8", str(inp)]) == 0
+    assert stream.stat().st_size > 0
+    assert main(["-d", "-s", str(stream), "-o", str(dec)]) == 0
+    out, _ = yuv.read_y4m(str(dec))
+    assert out["y"].shape == src["y"].shape
+    assert psnr(out["y"], src["y"]) > 30
+
+
+def test_cli_rate_mode_and_pvrg_output(tmp_path):
+    inp = tmp_path / "in.y4m"
+    stream = tmp_path / "o.p64"
+    _write_y4m(inp, t=2)
+    assert main(["-s", str(stream), "-r", "800000", str(inp)]) == 0
+    prefix = str(tmp_path / "fr_")
+    assert main(["-d", "-s", str(stream), "-o", prefix]) == 0
+    got = yuv.read_pvrg(prefix, QCIF, 0, 0)
+    assert got["y"].shape == (1, QCIF.height, QCIF.width)
+
+
+def test_cli_bad_stream(tmp_path):
+    bad = tmp_path / "bad.p64"
+    bad.write_bytes(b"\xff" * 32)
+    assert main(["-d", "-s", str(bad), "-o", str(tmp_path / "x.y4m")]) == 1

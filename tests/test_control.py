@@ -1,0 +1,111 @@
+"""Unit tests: mode decisions, rate control laws, intra refresh, frame skip."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from p64tpu.control import decisions, ratecontrol
+from p64tpu.control.ratecontrol import RateConfig
+from p64tpu.core import encoder as enc
+from p64tpu.spec.constants import INTRA_REFRESH_PERIOD, QCIF
+
+RNG = np.random.default_rng(33)
+
+
+def test_activity_integer_definition():
+    x = RNG.integers(0, 256, (5, 16, 16))
+    got = np.asarray(decisions.activity(jnp.asarray(x, jnp.int32)))
+    s1 = x.reshape(5, -1).sum(1)
+    s2 = (x.astype(np.int64) ** 2).reshape(5, -1).sum(1)
+    want = (s2 - (s1 * s1) // 256) // 256
+    np.testing.assert_array_equal(got, want)
+
+
+def test_decide_modes_basic():
+    n = 4
+    cur = jnp.asarray(RNG.integers(0, 256, (n, 16, 16)), jnp.int32)
+    pred_same = cur  # perfect zero-MV prediction
+    sad0 = jnp.zeros(n, jnp.int32)
+    best = jnp.zeros(n, jnp.int32)
+    mv = jnp.zeros((n, 2), jnp.int32)
+    d = decisions.decide_modes(cur, pred_same, pred_same, sad0, best, mv,
+                               jnp.zeros(n, jnp.int32), jnp.asarray(False))
+    # perfect prediction: inter, no MC
+    assert not np.asarray(d["intra"]).any()
+    assert not np.asarray(d["use_mc"]).any()
+
+    # forced intra via refresh counter
+    d2 = decisions.decide_modes(
+        cur, pred_same, pred_same, sad0, best, mv,
+        jnp.full(n, INTRA_REFRESH_PERIOD - 1, jnp.int32),
+        jnp.asarray(False))
+    assert np.asarray(d2["intra"]).all()
+
+    # totally different prediction -> intra wins
+    d3 = decisions.decide_modes(
+        cur, 255 - cur, 255 - cur,
+        jnp.full(n, 100000, jnp.int32), jnp.full(n, 99999, jnp.int32),
+        jnp.asarray(np.tile([[3, 2]], (n, 1)), jnp.int32),
+        jnp.zeros(n, jnp.int32), jnp.asarray(False))
+    assert np.asarray(d3["intra"]).all()
+    # intra suppresses MC and the MV output
+    assert not np.asarray(d3["use_mc"]).any()
+    assert not np.asarray(d3["mv_out"]).any()
+
+
+def test_mc_threshold():
+    n = 1
+    cur = jnp.asarray(RNG.integers(0, 256, (n, 16, 16)), jnp.int32)
+    ref = jnp.asarray(RNG.integers(0, 256, (n, 16, 16)), jnp.int32)
+    mv = jnp.asarray([[2, 1]], jnp.int32)
+    # best_sad just below threshold: 107*best < 100*sad0
+    sad0 = jnp.asarray([1070], jnp.int32)
+    best_yes = jnp.asarray([999], jnp.int32)
+    best_no = jnp.asarray([1000], jnp.int32)
+    d_yes = decisions.decide_modes(cur, ref, ref, sad0, best_yes, mv,
+                                   jnp.zeros(n, jnp.int32),
+                                   jnp.asarray(False))
+    d_no = decisions.decide_modes(cur, ref, ref, sad0, best_no, mv,
+                                  jnp.zeros(n, jnp.int32),
+                                  jnp.asarray(False))
+    assert bool(np.asarray(d_yes["use_mc"])[0]) or bool(
+        np.asarray(d_yes["intra"])[0])
+    # at/over threshold never uses MC
+    assert not bool(np.asarray(d_no["use_mc"])[0])
+
+
+def test_rate_quant_law():
+    cfg = RateConfig(bit_rate=320_000, frame_rate=30)
+    tgt = cfg.target_bits_per_frame
+    assert tgt == 320_000 // 30
+    assert int(ratecontrol.gob_quant(cfg, jnp.int32(0))) == cfg.qoffs
+    q_full = int(ratecontrol.gob_quant(cfg, jnp.int32(tgt)))
+    assert 1 <= q_full <= 31
+    assert int(ratecontrol.gob_quant(cfg, jnp.int32(10**9))) == 31
+    # disabled -> fixed quant
+    off = RateConfig(fixed_quant=13)
+    assert int(ratecontrol.gob_quant(off, jnp.int32(12345))) == 13
+
+
+def test_frame_skip_and_drain():
+    cfg = RateConfig(bit_rate=30_000, frame_rate=30)  # 1000 bits/frame
+    assert not bool(ratecontrol.should_skip(cfg, jnp.int32(3999)))
+    assert bool(ratecontrol.should_skip(cfg, jnp.int32(4001)))
+    assert int(ratecontrol.drain_skipped(cfg, jnp.int32(1500))) == 500
+    assert int(ratecontrol.drain_skipped(cfg, jnp.int32(200))) == 0
+
+
+def test_encoder_emits_skipped_frames_under_pressure():
+    cfg = enc.EncoderConfig(fmt=QCIF, search=2,
+                            rate=RateConfig(bit_rate=8_000, frame_rate=30))
+    t = 6
+    y = RNG.integers(0, 256, (t, QCIF.height, QCIF.width), dtype=np.uint8)
+    frames = dict(y=jnp.asarray(y), cb=jnp.asarray(y[:, ::2, ::2]),
+                  cr=jnp.asarray(y[:, 1::2, ::2]))
+    _, out = enc.encode_sequence_jit(cfg, frames, enc.init_state(cfg))
+    coded = np.asarray(out["frame_coded"])
+    assert coded[0]
+    assert not coded.all()  # noise at 8 kbit/s must force skips
+    # skipped frames carry zero bits
+    bits = np.asarray(out["total_bits"])
+    np.testing.assert_array_equal(bits[~coded], 0)
