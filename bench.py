@@ -74,27 +74,32 @@ def main() -> int:
         lambda x: jnp.broadcast_to(x, (streams,) + x.shape),
         enc.init_state(cfg))
 
-    run = jax.jit(jax.vmap(lambda s, f: enc.encode_sequence(cfg, f, s)))
+    # NOTE: the timed function returns ONLY a scalar device reduction and
+    # each rep fetches it to host.  On the axon remote-TPU tunnel,
+    # jax.block_until_ready returns before remote execution completes, so a
+    # host fetch of a data-dependent scalar is the only honest sync; it also
+    # avoids timing a giant levels/recon transfer.
+    @jax.jit
+    def run(states, frames):
+        st, out = jax.vmap(lambda s, f: enc.encode_sequence(cfg, f, s))(
+            states, frames)
+        return out["total_bits"].sum()
 
     t0 = time.time()
-    out = run(states, frames)
-    jax.block_until_ready(out)
+    bits = int(run(states, frames))
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     best = float("inf")
     for r in range(reps):
         t0 = time.time()
-        out = run(states, frames)
-        jax.block_until_ready(out)
+        bits = int(run(states, frames))
         dt = time.time() - t0
         best = min(best, dt)
         log(f"rep {r}: {dt * 1e3:.1f} ms")
 
     n_mb = streams * frames_t * fmt.num_mbs
     mbs = n_mb / best
-    st, o = out
-    log(f"total bits: {int(np.asarray(o['total_bits']).sum())}, "
-        f"{n_mb} MBs in {best * 1e3:.1f} ms")
+    log(f"total bits: {bits}, {n_mb} MBs in {best * 1e3:.1f} ms")
     print(json.dumps({
         "metric": "cif_encode_macroblocks_per_sec_per_chip",
         "value": round(mbs, 1),

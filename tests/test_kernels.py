@@ -211,3 +211,39 @@ def test_full_search_edge_clipping(fmt):
     mv, best, sad0 = me.full_search(jnp.asarray(y), jnp.asarray(y))
     assert (np.asarray(best) == 0).all()
     assert (np.asarray(sad0) == 0).all()
+
+
+def test_mc_predict_select_matches_gather():
+    from p64tpu.core import predict
+    fmt = QCIF
+    n = fmt.num_mbs
+    ref_y = jnp.asarray(RNG.integers(0, 256, (fmt.height, fmt.width)),
+                        jnp.int32)
+    ref_cb = jnp.asarray(RNG.integers(0, 256,
+                                      (fmt.chroma_height, fmt.chroma_width)),
+                         jnp.int32)
+    ref_cr = ref_cb + 1
+    # valid MVs only: windows must stay inside the picture
+    mbc = fmt.mb_cols
+    idx = np.arange(n)
+    y0, x0 = (idx // mbc) * 16, (idx % mbc) * 16
+    mv = RNG.integers(-15, 16, (n, 2)).astype(np.int32)
+    mv[:, 0] = np.clip(mv[:, 0], -x0, fmt.width - 16 - x0)
+    mv[:, 1] = np.clip(mv[:, 1], -y0, fmt.height - 16 - y0)
+    fil = RNG.random(n) < 0.5
+    a = predict.mc_predict(ref_y, ref_cb, ref_cr, jnp.asarray(mv),
+                           jnp.asarray(fil), fmt)
+    b = predict.mc_predict_gather(ref_y, ref_cb, ref_cr, jnp.asarray(mv),
+                                  jnp.asarray(fil), fmt)
+    for x, y, name in zip(a, b, ("y", "cb", "cr")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
+def test_sad_map_shifted_matches_dynamic():
+    cur = jnp.asarray(RNG.integers(0, 256, (96, 112)), jnp.int32)
+    ref = jnp.asarray(RNG.integers(0, 256, (96, 112)), jnp.int32)
+    for s in (4, 7):
+        np.testing.assert_array_equal(
+            np.asarray(me.sad_map_shifted(cur, ref, s)),
+            np.asarray(me.sad_map(cur, ref, s)))
