@@ -40,6 +40,15 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: remote TPU compiles on this tunnel are
+    # extremely slow (minutes); cache hits make re-runs instant.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("P64_JAX_CACHE", "/tmp/jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from p64tpu.control.ratecontrol import RateConfig
     from p64tpu.core import encoder as enc
     from p64tpu.spec.constants import CIF

@@ -103,20 +103,35 @@ def sad_map_shifted(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
     n_mb = mb_rows * mb_cols
     side = 2 * search + 1
-    cur = cur_y.astype(jnp.int16)[None]                    # (1, h, w)
-    ref_pad = jnp.pad(ref_y.astype(jnp.int16), search)
+    # bf16 is exact here: pixels and |differences| are integers <= 255
+    # (bf16 represents integers up to 256 exactly), and the box sums run on
+    # the MXU with float32 accumulation (exact below 2^24).
+    cur = cur_y.astype(jnp.bfloat16)[None]                 # (1, h, w)
+    ref_pad = jnp.pad(ref_y.astype(jnp.bfloat16), search)
     # (side, h + 2s, w): lane-misaligned slicing paid once, here.
     shifted = jnp.stack([ref_pad[:, dx:dx + w] for dx in range(side)])
 
+    # 0/1 pooling matrices route the 16x16 box sums through the MXU.
+    pr = jnp.asarray(np.kron(np.eye(mb_rows, dtype=np.float32),
+                             np.ones((1, MB_SIZE), np.float32)))  # (R, h)
+    pc = jnp.asarray(np.kron(np.eye(mb_cols, dtype=np.float32),
+                             np.ones((MB_SIZE, 1), np.float32)))  # (w, C)
+
     def one_dy(dy):
         ad = jnp.abs(cur - jax.lax.slice_in_dim(
-            shifted, dy, dy + h, axis=1)).astype(jnp.int32)
-        return ad.reshape(side, mb_rows, MB_SIZE, mb_cols, MB_SIZE).sum(
-            axis=(2, 4)).reshape(side, n_mb)
+            shifted, dy, dy + h, axis=1))                  # (side, h, w)
+        part = jax.lax.dot_general(
+            ad, pc.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (side, h, C)
+        sums = jax.lax.dot_general(
+            pr, part, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (R, side, C)
+        return jnp.moveaxis(sums, 0, 1).reshape(side, n_mb)
 
     # static unroll over dy keeps every slice aligned & compile-time known
     sads = jnp.stack([one_dy(dy) for dy in range(side)])   # (dy, dx, nMB)
-    sads = sads.reshape(side * side, n_mb)
+    sads = sads.reshape(side * side, n_mb).astype(jnp.int32)
 
     valid = _validity_mask(h, w, n_mb, mb_cols, search)
     big = jnp.int32(1 << 30)
