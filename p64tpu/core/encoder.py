@@ -149,26 +149,47 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     fil_t = t(fil)
     mv_t = t(mv, 2)
 
-    def gob_body(buffer, xs):
-        coefs_g, intra_g, mc_g, fil_g, mv_g = xs
-        q = gob_quant(cfg.rate, buffer)
-        levels = quantize(coefs_g, q, intra_g[:, None, None, None])
-        nzblk = (levels != 0).any(axis=-1)                  # (33, 6)
+    def process_gob(coefs_g, intra_g, mc_g, fil_g, mv_g, q):
+        """Quantize one GOB (or a batch of GOBs) at quantizer q and derive
+        CBP/MTYPE/coded masks plus the exact payload bit cost."""
+        levels = quantize(coefs_g, q, intra_g[..., None, None, None])
+        nzblk = (levels != 0).any(axis=-1)                  # (..., 33, 6)
         weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
-        cbp = jnp.where(nzblk, weights[None, :], 0).sum(axis=-1)
+        cbp = jnp.where(nzblk, weights, 0).sum(axis=-1)
         has_coef = cbp > 0
         mtype = _mtype_from_flags(intra_g, mc_g, fil_g, has_coef)
         coded = intra_g | mc_g | has_coef
         # untransmitted coefficient data is zero by construction except for
         # inter MBs that end up uncoded -- their levels are already zero.
-        levels = jnp.where(coded[:, None, None], levels, 0)
+        levels = jnp.where(coded[..., None, None], levels, 0)
         bits = lengths.gob_payload_bits(
             coded, mtype, mv_g, cbp, levels) + lengths.GOB_HEADER_BITS
-        return buffer + bits, (levels, cbp, mtype, coded, q, bits)
+        return levels, cbp, mtype, coded, bits
 
-    buffer_after, (levels_t, cbp_t, mtype_t, coded_t, gquant, gob_bits) = (
-        jax.lax.scan(gob_body, state["buffer"],
-                     (coefs_t, intra_t, mc_t, fil_t, mv_t)))
+    if cfg.rate.enabled:
+        # per-GOB quantizer adaptation is a true sequential chain
+        # (bits of GOB g feed GOB g+1's quantizer) -> lax.scan.
+        def gob_body(buffer, xs):
+            coefs_g, intra_g, mc_g, fil_g, mv_g = xs
+            q = gob_quant(cfg.rate, buffer)
+            levels, cbp, mtype, coded, bits = process_gob(
+                coefs_g, intra_g, mc_g, fil_g, mv_g, q)
+            return buffer + bits, (levels, cbp, mtype, coded, q, bits)
+
+        buffer_after, (levels_t, cbp_t, mtype_t, coded_t, gquant,
+                       gob_bits) = jax.lax.scan(
+            gob_body, state["buffer"],
+            (coefs_t, intra_t, mc_t, fil_t, mv_t))
+    else:
+        # fixed quantizer: no cross-GOB dependency -- process every GOB in
+        # one batched shot (removes 12 tiny sequential scan steps from the
+        # throughput path).
+        gquant = jnp.full((ngob,), gob_quant(cfg.rate, state["buffer"]),
+                          jnp.int32)
+        levels_t, cbp_t, mtype_t, coded_t, gob_bits = process_gob(
+            coefs_t, intra_t, mc_t, fil_t, mv_t,
+            gquant[:, None, None, None, None])
+        buffer_after = state["buffer"] + gob_bits.sum()
 
     # un-permute back to raster MB order
     def untp(xt, *shape):
