@@ -109,3 +109,44 @@ def test_encoder_emits_skipped_frames_under_pressure():
     # skipped frames carry zero bits
     bits = np.asarray(out["total_bits"])
     np.testing.assert_array_equal(bits[~coded], 0)
+
+
+def test_forced_intra_refresh_counter():
+    import jax.numpy as jnp
+    cfg = enc.EncoderConfig(fmt=QCIF, search=2,
+                            rate=RateConfig(fixed_quant=20))
+    y0 = RNG.integers(0, 200, (QCIF.height, QCIF.width)).astype(np.int32)
+    y1 = np.clip(y0 + RNG.integers(-3, 4, y0.shape), 0, 255)
+    y = np.stack([y0, y1]).astype(np.uint8)
+    frames = dict(y=jnp.asarray(y), cb=jnp.asarray(y[:, ::2, ::2]),
+                  cr=jnp.asarray(y[:, 1::2, ::2]))
+    state = enc.init_state(cfg)
+    # push every counter to the threshold: next coded frame must be intra
+    state["refresh"] = jnp.full(QCIF.num_mbs, INTRA_REFRESH_PERIOD - 1,
+                                jnp.int32)
+    state["frame_idx"] = jnp.int32(5)  # not the forced-intra first frame
+    _, out = enc.encode_sequence_jit(cfg, frames, state)
+    mtype = np.asarray(out["mtype"])[0]
+    coded = np.asarray(out["coded"])[0]
+    from p64tpu.spec import luts
+    assert luts.MTYPE_INTRA[mtype[coded]].all()
+    # counters reset after the intra coding
+    # (second frame should NOT be forced intra everywhere)
+    mtype1 = np.asarray(out["mtype"])[1]
+    coded1 = np.asarray(out["coded"])[1]
+    assert not luts.MTYPE_INTRA[mtype1[coded1]].all()
+
+
+def test_tr_wraps_mod_32():
+    import jax.numpy as jnp
+    cfg = enc.EncoderConfig(fmt=QCIF, search=0, intra_only=True,
+                            rate=RateConfig(fixed_quant=25))
+    y = np.broadcast_to(
+        RNG.integers(0, 256, (1, QCIF.height, QCIF.width), np.uint8),
+        (3, QCIF.height, QCIF.width))
+    frames = dict(y=jnp.asarray(y), cb=jnp.asarray(y[:, ::2, ::2]),
+                  cr=jnp.asarray(y[:, 1::2, ::2]))
+    state = enc.init_state(cfg)
+    state["frame_idx"] = jnp.int32(31)
+    _, out = enc.encode_sequence_jit(cfg, frames, state)
+    assert np.asarray(out["tr"]).tolist() == [31, 0, 1]
