@@ -72,10 +72,6 @@ class EncoderConfig:
     intra_period: int = 0        # >0: force an all-intra frame every N
 
 
-class EncoderState(dict):
-    """Pytree of per-stream sequential state (dict for jax friendliness)."""
-
-
 def init_state(cfg: EncoderConfig) -> Dict[str, jnp.ndarray]:
     fmt = cfg.fmt
     return dict(

@@ -11,7 +11,7 @@ once, not per MB), and adds the two modern container formats.
 from __future__ import annotations
 
 import os
-import re
+
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -177,4 +177,3 @@ def parse_format(name: str) -> Format:
         raise ValueError(f"unknown format {name!r} (CIF or QCIF)") from None
 
 
-_ = re  # placate linters for optional future use

@@ -1,0 +1,75 @@
+"""Device decode of 'foreign' H.261 feature streams our encoder never
+emits: MQUANT mid-GOB (per-MB quantizer changes) and MBA stuffing must flow
+through parse -> device reconstruction correctly."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from p64tpu.core.decoder import decode_frames
+from p64tpu.entropy.bitio import BitWriter
+from p64tpu.entropy.parse import parse_stream
+from p64tpu.kernels.dct import idct8x8
+from p64tpu.kernels.quant import dequantize
+from p64tpu.spec.constants import QCIF
+
+
+def build_stream():
+    w = BitWriter()
+    w.put(0x00010, 20)   # PSC
+    w.put(3, 5)          # TR
+    w.put(0b000011, 6)   # PTYPE QCIF
+    w.put(0, 1)
+    for gn in (1, 3, 5):
+        w.put(1, 16)
+        w.put(gn, 4)
+        w.put(20, 5)     # GQUANT 20
+        w.put(0, 1)
+        if gn == 1:
+            # MB1: intra + MQUANT 6; DC 100, one AC at zigzag pos 1 level +2
+            w.put_str("00000001111")   # stuffing before MBA
+            w.put_str("1")             # MBA 1
+            w.put_str("0000001")       # MTYPE intra_mquant
+            w.put(6, 5)                # MQUANT 6
+            for b in range(6):
+                w.put(100, 8)          # DC
+                if b == 0:
+                    w.put_str("11" + "0")  # (0,+1) '11s'
+                w.put_str("10")        # EOB
+            # MB2: plain intra at the inherited quant (6)
+            w.put_str("1")             # MBA 1 (consecutive)
+            w.put_str("0001")          # MTYPE intra
+            for b in range(6):
+                w.put(50, 8)
+                w.put_str("10")
+    return w.getvalue()
+
+
+def test_mquant_midgob_device_decode():
+    data = build_stream()
+    frames = parse_stream(data)
+    f = frames[0]
+    assert f.fmt is QCIF
+    assert f.coded[:2].all() and not f.coded[2:].any()
+    assert f.quant[0] == 6 and f.quant[1] == 6
+    assert f.levels[0, 0, 0] == 100 and f.levels[0, 0, 1] == 1
+    y, cb, cr = decode_frames(frames)
+    y = np.asarray(y)[0]
+
+    # manual expectation for MB0 block Y1 via the shared kernels
+    lv = np.zeros((1, 64), np.int32)
+    lv[0, 0] = 100
+    lv[0, 1] = 1
+    coefs = dequantize(jnp.asarray(lv), jnp.int32(6), jnp.asarray(True))
+    expect = np.clip(np.asarray(idct8x8(coefs))[0], 0, 255)
+    np.testing.assert_array_equal(y[:8, :8], expect)
+
+    # MB2 (raster index 1): DC-only blocks at level 50 -> flat 8x8 patches
+    lv2 = np.zeros((1, 64), np.int32)
+    lv2[0, 0] = 50
+    coefs2 = dequantize(jnp.asarray(lv2), jnp.int32(6), jnp.asarray(True))
+    expect2 = np.clip(np.asarray(idct8x8(coefs2))[0], 0, 255)
+    np.testing.assert_array_equal(y[:8, 16:24], expect2)
+
+    # uncoded MBs reconstruct as copies of the (zero) initial reference
+    assert (y[:16, 32:] == 0).all()
