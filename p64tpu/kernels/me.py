@@ -138,6 +138,48 @@ def sad_map_shifted(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     return jnp.where(valid, sads, big)
 
 
+def sad_map_i8(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
+               search: int = DEFAULT_SEARCH_RANGE) -> jnp.ndarray:
+    """int8-MXU SAD variant: |a-b| (<= 255) is split exactly into
+    lo = ad & 0x3F (6 bits) and hi = ad >> 6 (2 bits); both fit int8, so
+    the 16x16 box sums run as int8 x int8 -> int32 matmuls (the fastest
+    MXU mode) and recombine as lo + 64*hi.  Bit-identical to sad_map
+    (tested)."""
+    h, w = cur_y.shape
+    mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
+    n_mb = mb_rows * mb_cols
+    side = 2 * search + 1
+    cur = cur_y.astype(jnp.int16)[None]
+    ref_pad = jnp.pad(ref_y.astype(jnp.int16), search)
+    shifted = jnp.stack([ref_pad[:, dx:dx + w] for dx in range(side)])
+
+    pr = jnp.asarray(np.kron(np.eye(mb_rows, dtype=np.int8),
+                             np.ones((1, MB_SIZE), np.int8)))
+    pc = jnp.asarray(np.kron(np.eye(mb_cols, dtype=np.int8),
+                             np.ones((MB_SIZE, 1), np.int8)))
+
+    def box(x_i8):
+        part = jax.lax.dot_general(
+            x_i8, pc, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return jax.lax.dot_general(
+            pr, part, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)          # (R, side, C)
+
+    def one_dy(dy):
+        ad = jnp.abs(cur - jax.lax.slice_in_dim(
+            shifted, dy, dy + h, axis=1))              # (side, h, w) int16
+        lo = (ad & 0x3F).astype(jnp.int8)
+        hi = (ad >> 6).astype(jnp.int8)
+        sums = box(lo) + 64 * box(hi)
+        return jnp.moveaxis(sums, 0, 1).reshape(side, n_mb)
+
+    sads = jnp.stack([one_dy(dy) for dy in range(side)])
+    sads = sads.reshape(side * side, n_mb)
+    valid = _validity_mask(h, w, n_mb, mb_cols, search)
+    return jnp.where(valid, sads, jnp.int32(1 << 30))
+
+
 def sad_map(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
             search: int = DEFAULT_SEARCH_RANGE) -> jnp.ndarray:
     """Dense SAD tensor.
