@@ -105,9 +105,12 @@ def sad_map_shifted(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     side = 2 * search + 1
     # bf16 is exact here: pixels and |differences| are integers <= 255
     # (bf16 represents integers up to 256 exactly), and the box sums run on
-    # the MXU with float32 accumulation (exact below 2^24).
-    cur = cur_y.astype(jnp.bfloat16)[None]                 # (1, h, w)
-    ref_pad = jnp.pad(ref_y.astype(jnp.bfloat16), search)
+    # the MXU with float32 accumulation (exact below 2^24).  The CPU
+    # backend's dot thunk lacks this bf16 mode -> use f32 there (identical
+    # integer results either way).
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    cur = cur_y.astype(dt)[None]                           # (1, h, w)
+    ref_pad = jnp.pad(ref_y.astype(dt), search)
     # (side, h + 2s, w): lane-misaligned slicing paid once, here.
     shifted = jnp.stack([ref_pad[:, dx:dx + w] for dx in range(side)])
 
@@ -120,14 +123,18 @@ def sad_map_shifted(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     def one_dy(dy):
         ad = jnp.abs(cur - jax.lax.slice_in_dim(
             shifted, dy, dy + h, axis=1))                  # (side, h, w)
+        # operand order chosen so the HUGE axis (side*h) is the matmul's
+        # lane/output-N dimension -- with the pooling matrix first and
+        # N = side*h the MXU runs near-full; the naive order (N = w/16 = 22)
+        # wastes ~5/6 of every pass.
         part = jax.lax.dot_general(
-            ad, pc.astype(jnp.bfloat16),
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (side, h, C)
+            pc.astype(dt), ad,
+            dimension_numbers=(((0,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (C, side, h)
         sums = jax.lax.dot_general(
-            pr, part, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (R, side, C)
-        return jnp.moveaxis(sums, 0, 1).reshape(side, n_mb)
+            part, pr, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (C, side, R)
+        return jnp.transpose(sums, (1, 2, 0)).reshape(side, n_mb)
 
     # static unroll over dy keeps every slice aligned & compile-time known
     sads = jnp.stack([one_dy(dy) for dy in range(side)])   # (dy, dx, nMB)

@@ -101,3 +101,24 @@ def test_cif_sequence():
     cfg = encoder.EncoderConfig(fmt=CIF, rate=RateConfig(fixed_quant=16))
     frames = synthetic_frames(CIF, 3)
     roundtrip(cfg, frames)
+
+
+def test_identical_frames_mostly_skipped():
+    # frame 2 of an identical pair: residual is only frame-1 quantization
+    # error, so the large majority of MBs must be skipped and the picture
+    # must cost far less than frame 1.  Deterministic content (no shared
+    # RNG: this test must not depend on suite order).
+    cfg = encoder.EncoderConfig(fmt=QCIF, search=3,
+                                rate=RateConfig(fixed_quant=16))
+    h, w = QCIF.height, QCIF.width
+    yy, xx = np.mgrid[0:h, 0:w]
+    y0 = ((16 + (xx * 3 + yy * 2) // 8) % 200).astype(np.uint8)
+    one = dict(y=jnp.asarray(y0[None]),
+               cb=jnp.asarray(y0[None, ::2, ::2]),
+               cr=jnp.asarray(y0[None, 1::2, ::2]))
+    frames = {k: jnp.concatenate([v, v]) for k, v in one.items()}
+    data, outputs, parsed = roundtrip(cfg, frames)
+    f2 = parsed[1]
+    assert f2.coded.sum() < QCIF.num_mbs // 2
+    bits = np.asarray(outputs["total_bits"])
+    assert bits[1] < bits[0] // 4
