@@ -39,6 +39,16 @@ GOB_HEADER_BITS = GBSC_BITS + GN_BITS + GQUANT_BITS + PEI_BITS
 
 # LUTs as module-level numpy constants; jnp.asarray inside jit is free.
 _TC_LEN = luts.TC_LEN.astype(np.int32)
+# Compact VLC-entry table: every (run, |level|) outside run<=26, |level|<=15
+# is the 20-bit escape, so the gatherable part is 27x16 (see _tc_len).
+_TC_RUN_MAX = 26
+_TC_LEV_MAX = 15
+_TC_LEN_SMALL = luts.TC_LEN[:_TC_RUN_MAX + 1, :_TC_LEV_MAX + 1].astype(
+    np.float32)
+_TC_ESCAPE = int(luts.TC_LEN[63, 127])  # 6+6+8 = 20 bits
+assert (luts.TC_LEN[_TC_RUN_MAX + 1:, 1:] == _TC_ESCAPE).all()
+assert (luts.TC_LEN[:, _TC_LEV_MAX + 1:] == _TC_ESCAPE).all()
+assert (luts.TC_LEN[:, 0] == 0).all()
 _MBA_LEN = luts.MBA_LEN.astype(np.int32)
 _MTYPE_LEN = luts.MTYPE_LEN.astype(np.int32)
 _MVD_LEN = luts.MVD_LEN.astype(np.int32)
@@ -60,6 +70,31 @@ def _exclusive_cummax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
         axis=axis)
 
 
+def _tc_len(run: jnp.ndarray, alev: jnp.ndarray) -> jnp.ndarray:
+    """TCOEFF code length per coefficient, gather-free.
+
+    Semantically `TC_LEN[run, clip(alev, 0, 127)]`, but a per-element 2D
+    gather over millions of coefficients is the single slowest op on the
+    TPU VPU (~150 Melem/s measured).  Instead the small 27x16 VLC-entry
+    table is applied as a one-hot bf16 matmul (MXU) + masked select; every
+    other (run, |level|) combination is the 20-bit escape and |level| == 0
+    costs nothing.  Exact: one-hot entries and lengths <= 20 are
+    bf16-representable; accumulation is f32.
+    """
+    esc = (alev > _TC_LEV_MAX) | (run > _TC_RUN_MAX)
+    r = jnp.clip(run, 0, _TC_RUN_MAX)
+    a = jnp.clip(alev, 0, _TC_LEV_MAX)
+    oh_r = (r[..., None] == jnp.arange(_TC_RUN_MAX + 1)).astype(jnp.bfloat16)
+    table = jnp.asarray(_TC_LEN_SMALL, jnp.bfloat16)
+    part = jax.lax.dot_general(
+        oh_r, table,
+        dimension_numbers=(((oh_r.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (..., 16)
+    oh_a = a[..., None] == jnp.arange(_TC_LEV_MAX + 1)
+    val = jnp.sum(jnp.where(oh_a, part, 0.0), axis=-1).astype(jnp.int32)
+    return jnp.where(alev == 0, 0, jnp.where(esc, _TC_ESCAPE, val))
+
+
 def block_bits(levels_zz: jnp.ndarray, intra: jnp.ndarray) -> jnp.ndarray:
     """Exact TCOEFF bits for each block, EXCLUDING EOB and the intra DC FLC.
 
@@ -79,7 +114,7 @@ def block_bits(levels_zz: jnp.ndarray, intra: jnp.ndarray) -> jnp.ndarray:
     prev = jnp.maximum(_exclusive_cummax(marks), start - 1)
     run = p - prev - 1
     alev = jnp.abs(lv)
-    clen = jnp.asarray(_TC_LEN)[run, jnp.clip(alev, 0, 127)]
+    clen = _tc_len(run, jnp.clip(alev, 0, 127))
     total = jnp.sum(jnp.where(nz, clen, 0), axis=-1)
     # inter first-coefficient short form: position 0, |level| 1 -> 2 bits
     first01 = (~intra) & (alev[..., 0] == 1)
