@@ -203,12 +203,94 @@ def sad_map_pallas_aligned(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     return jnp.where(valid, sads, jnp.int32(1 << 30))
 
 
+def _sad_kernel_bf16(cur_ref, shifted_ref, pr_ref, pc_ref, out_ref, *,
+                     h, w, search):
+    """bf16 variant of _sad_kernel: the MXU runs bf16 x bf16 -> f32 at full
+    rate (f32 dots decompose into multiple passes).  Exact: pixels and
+    |differences| are integers <= 255 (bf16-exact), pooling matrices are
+    0/1, accumulation is f32 (sums < 2^17).  The dy sweep materializes the
+    whole (side*h, w) abs-diff slab in VMEM once so the column pool runs as
+    ONE tall matmul (M = side*h) instead of `side` small ones; the row pool
+    stays per-dy (tiny: 18x288 @ 288x22)."""
+    side = 2 * search + 1
+    cur = cur_ref[...]                              # (h, w) bf16
+    pr = pr_ref[...].astype(jnp.float32)            # (mb_rows, h)
+    pc = pc_ref[...]                                # (w, mb_cols) bf16
+    sh = shifted_ref[0]                             # (h + 2s, w) bf16
+
+    ad_rows = []
+    for dy in range(side):
+        ad_rows.append(jnp.abs(cur - sh[dy:dy + h, :]))
+    ad_all = jnp.concatenate(ad_rows, axis=0)       # (side*h, w) bf16
+    # column pool: one tall bf16 matmul, exact in the f32 accumulator
+    part = jax.lax.dot(ad_all, pc,
+                       preferred_element_type=jnp.float32)  # (side*h, mbc)
+    # row pool per dy: column sums reach 16*255 = 4080 (not bf16-exact), so
+    # this dot stays f32; it is tiny (mb_rows x h @ h x mb_cols).
+    for dy in range(side):
+        sums = jax.lax.dot(pr, part[dy * h:(dy + 1) * h, :],
+                           preferred_element_type=jnp.float32)
+        out_ref[0, dy] = sums
+
+
+@functools.partial(jax.jit, static_argnames=("search", "interpret"))
+def sad_map_pallas_bf16(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
+                        search: int = DEFAULT_SEARCH_RANGE,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Same contract as sad_map_pallas; bf16 data path (exact, see kernel),
+    half the HBM traffic for the shifted stack and full-rate MXU pooling."""
+    h, w = cur_y.shape
+    mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
+    n_mb = mb_rows * mb_cols
+    side = 2 * search + 1
+
+    cur = cur_y.astype(jnp.bfloat16)
+    ref_pad = jnp.pad(ref_y.astype(jnp.bfloat16), search)
+    shifted = jnp.stack([ref_pad[:, dx:dx + w] for dx in range(side)])
+    pr, pc = _pool_matrices(h, w)
+
+    out = pl.pallas_call(
+        functools.partial(_sad_kernel_bf16, h=h, w=w, search=search),
+        grid=(side,),
+        in_specs=[
+            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2 * search, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mb_rows, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, mb_cols), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, side, mb_rows, mb_cols),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((side, side, mb_rows, mb_cols),
+                                       jnp.float32),
+        interpret=interpret,
+    )(cur, shifted, jnp.asarray(pr, jnp.bfloat16),
+      jnp.asarray(pc, jnp.bfloat16))
+
+    sads = jnp.swapaxes(out, 0, 1).reshape(side * side, n_mb)
+    sads = sads.astype(jnp.int32)
+    valid = _me_validity(h, w, n_mb, mb_cols, search)
+    return jnp.where(valid, sads, jnp.int32(1 << 30))
+
+
+def _me_validity(h, w, n_mb, mb_cols, search):
+    y0 = (jnp.arange(n_mb, dtype=jnp.int32) // mb_cols) * MB_SIZE
+    x0 = (jnp.arange(n_mb, dtype=jnp.int32) % mb_cols) * MB_SIZE
+    offs = jnp.asarray(offset_table(search))
+    oy, ox = offs[:, 0:1], offs[:, 1:2]
+    return ((y0[None, :] + oy >= 0) & (y0[None, :] + oy + MB_SIZE <= h)
+            & (x0[None, :] + ox >= 0) & (x0[None, :] + ox + MB_SIZE <= w))
+
+
 def full_search_pallas(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
                        search: int = DEFAULT_SEARCH_RANGE,
                        interpret: bool = False):
     """Drop-in replacement for kernels.me.full_search (same outputs,
     same scan-order tie-breaks)."""
-    sads = sad_map_pallas(cur_y, ref_y, search, interpret)
+    sads = sad_map_pallas_bf16(cur_y, ref_y, search, interpret)
     offs = jnp.asarray(offset_table(search))
     best_idx = jnp.argmin(sads, axis=0)
     best_sad = jnp.take_along_axis(sads, best_idx[None, :], axis=0)[0]

@@ -21,6 +21,31 @@ def test_sad_map_parity(h, w, s):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("h,w,s", [(48, 64, 4), (144, 176, 7)])
+def test_sad_map_bf16_parity(h, w, s):
+    cur = jnp.asarray(RNG.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.asarray(RNG.integers(0, 256, (h, w)), jnp.int32)
+    want = np.asarray(me.sad_map(cur, ref, s))
+    got = np.asarray(me_pallas.sad_map_pallas_bf16(cur, ref, s,
+                                                   interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sad_map_bf16_near_identical_planes():
+    # small residuals + flat regions: exactness of the bf16 path where the
+    # integers are small and ties abound
+    h, w, s = 144, 176, 7
+    base = RNG.integers(0, 256, (h, w))
+    base[32:96, 32:128] = 77
+    cur = jnp.asarray(base, jnp.int32)
+    ref = jnp.asarray(np.clip(base + RNG.integers(-2, 3, (h, w)), 0, 255),
+                      jnp.int32)
+    want = np.asarray(me.sad_map(cur, ref, s))
+    got = np.asarray(me_pallas.sad_map_pallas_bf16(cur, ref, s,
+                                                   interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_full_search_parity_including_tiebreaks():
     # identical frames: every SAD within range ties at many offsets in flat
     # regions -- argmin scan order must match exactly
