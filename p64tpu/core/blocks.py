@@ -54,6 +54,30 @@ def gob_of_mb(fmt: Format) -> np.ndarray:
     return out
 
 
+def to_gob_order(fmt: Format, x: jnp.ndarray) -> jnp.ndarray:
+    """Raster-MB-order (nMB, ...) -> (nGOB, 33, ...), gather-free.
+
+    The transmission permutation is exactly a reshape/transpose: raster MB
+    grid (grows*3, gcols*11) -> (grow, r, gcol, c) -> (grow, gcol, r, c).
+    Equals x[transmission_order(fmt)].reshape(nGOB, 33, ...) (tested) but
+    lowers to a pure layout transform instead of a gather.
+    """
+    gr, gc = fmt.gob_rows, fmt.gob_cols
+    tail = x.shape[1:]
+    x = x.reshape(gr, GOB_MB_ROWS, gc, GOB_MB_COLS, *tail)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape(fmt.num_gobs, GOB_MB_ROWS * GOB_MB_COLS, *tail)
+
+
+def from_gob_order(fmt: Format, xt: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of to_gob_order: (nGOB, 33, ...) -> raster (nMB, ...)."""
+    gr, gc = fmt.gob_rows, fmt.gob_cols
+    tail = xt.shape[2:]
+    x = xt.reshape(gr, gc, GOB_MB_ROWS, GOB_MB_COLS, *tail)
+    x = jnp.moveaxis(x, 1, 2)
+    return x.reshape(fmt.num_mbs, *tail)
+
+
 # ---------------------------------------------------------------------------
 # jnp reshape helpers (pure layout transforms; all shapes static)
 # ---------------------------------------------------------------------------

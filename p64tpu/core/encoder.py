@@ -53,8 +53,9 @@ from ..spec.tables import MTYPE_BY_NAME
 from .blocks import (
     assemble_blocks,
     assemble_mb_blocks,
+    from_gob_order,
     luma_to_mbs,
-    transmission_order,
+    to_gob_order,
 )
 from .predict import mc_predict
 from .reconstruct import reconstruct_frame
@@ -133,11 +134,10 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     coefs = fdct8x8(resid)                       # (nMB, 6, 8, 8)
 
     # ---- per-GOB rate-control scan (transmission order) ----
-    perm = jnp.asarray(transmission_order(fmt))
     ngob = fmt.num_gobs
 
     def t(x, *shape):
-        return x[perm].reshape(ngob, MBS_PER_GOB, *shape)
+        return to_gob_order(fmt, x)
 
     coefs_t = t(coefs, 6, 8, 8)
     intra_t = t(intra)
@@ -187,11 +187,9 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
             gquant[:, None, None, None, None])
         buffer_after = state["buffer"] + gob_bits.sum()
 
-    # un-permute back to raster MB order
+    # un-permute back to raster MB order (pure layout transform)
     def untp(xt, *shape):
-        flat = xt.reshape(ngob * MBS_PER_GOB, *shape)
-        out = jnp.zeros_like(flat)
-        return out.at[perm].set(flat)
+        return from_gob_order(fmt, xt)
 
     levels = untp(levels_t, 6, 64).astype(jnp.int16)
     cbp = untp(cbp_t)
@@ -200,8 +198,8 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     total_bits = gob_bits.sum() + lengths.PICTURE_HEADER_BITS
 
     # ---- local reconstruction (the decoder, shared code) ----
-    gob_idx = jnp.asarray(_gob_of_mb_np(fmt))
-    quant_mb = gquant[gob_idx]
+    quant_mb = from_gob_order(
+        fmt, jnp.broadcast_to(gquant[:, None], (ngob, MBS_PER_GOB)))
     rec_y, rec_cb, rec_cr = reconstruct_frame(
         fmt, levels.astype(jnp.int32), quant_mb, intra & coded, mv,
         fil & coded, state["ref_y"], state["ref_cb"], state["ref_cr"])
@@ -231,12 +229,6 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         recon_y=rec_y, recon_cb=rec_cb, recon_cr=rec_cr,
     )
     return new_state, out
-
-
-@functools.lru_cache(maxsize=None)
-def _gob_of_mb_np(fmt: Format) -> np.ndarray:
-    from .blocks import gob_of_mb
-    return gob_of_mb(fmt)
 
 
 def _skip_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):

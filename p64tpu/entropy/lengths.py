@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.blocks import transmission_order
 from ..spec import luts
 from ..spec.constants import (
     GBSC_BITS,
@@ -57,6 +56,25 @@ _MTYPE_MC = luts.MTYPE_MC.astype(np.bool_)
 _MTYPE_CBP = luts.MTYPE_CBP.astype(np.bool_)
 _MTYPE_TCOEFF = luts.MTYPE_TCOEFF.astype(np.bool_)
 _MTYPE_INTRA = luts.MTYPE_INTRA.astype(np.bool_)
+
+
+def _sel(table: np.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free small-table lookup: one-hot select-sum.
+
+    Per-element gathers run at ~150 Melem/s on the TPU VPU; a one-hot
+    compare + masked sum over a <=64-entry table is pure vector ALU work
+    and at these shapes effectively free.
+    """
+    t = jnp.asarray(table, jnp.int32)
+    oh = idx[..., None] == jnp.arange(t.shape[0], dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, t, 0), axis=-1)
+
+
+def _sel_bool(table: np.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free boolean-table lookup (see _sel)."""
+    t = jnp.asarray(table, bool)
+    oh = idx[..., None] == jnp.arange(t.shape[0], dtype=jnp.int32)
+    return jnp.any(oh & t, axis=-1)
 
 
 def _exclusive_cummax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -142,25 +160,28 @@ def gob_payload_bits(codedt: jnp.ndarray, mtypet: jnp.ndarray,
     marks = jnp.where(codedt, idx, -1)
     prev_idx = _exclusive_cummax(marks, axis=-1)           # (..., 33)
     mba = idx - prev_idx                                   # >= 1 where coded
-    mba_bits = jnp.asarray(_MBA_LEN)[jnp.clip(mba, 0, 33)]
+    mba_bits = _sel(_MBA_LEN, jnp.clip(mba, 0, 33))
 
-    mtype_bits = jnp.asarray(_MTYPE_LEN)[mtypet]
-    is_mc = jnp.asarray(_MTYPE_MC)[mtypet] & codedt
-    has_cbp = jnp.asarray(_MTYPE_CBP)[mtypet] & codedt
-    has_tc = jnp.asarray(_MTYPE_TCOEFF)[mtypet] & codedt
-    is_intra = jnp.asarray(_MTYPE_INTRA)[mtypet] & codedt
+    mtype_bits = _sel(_MTYPE_LEN, mtypet)
+    is_mc = _sel_bool(_MTYPE_MC, mtypet) & codedt
+    has_cbp = _sel_bool(_MTYPE_CBP, mtypet) & codedt
+    has_tc = _sel_bool(_MTYPE_TCOEFF, mtypet) & codedt
+    is_intra = _sel_bool(_MTYPE_INTRA, mtypet) & codedt
 
     # MVD predictor: previous MB's MV iff adjacent (gap 1), previous coded
     # MB was MC, and not at the start of an MB row (idx % 11 == 0).
     safe_prev = jnp.clip(prev_idx, 0, MBS_PER_GOB - 1)
-    prev_mv = jnp.take_along_axis(mvt, safe_prev[..., None], axis=-2)
-    prev_mc = jnp.take_along_axis(is_mc, safe_prev, axis=-1)
+    oh_prev = safe_prev[..., None] == jnp.arange(MBS_PER_GOB,
+                                                 dtype=jnp.int32)
+    prev_mv = jnp.sum(jnp.where(oh_prev[..., None], mvt[..., None, :, :], 0),
+                      axis=-2)                             # (..., 33, 2)
+    prev_mc = jnp.any(oh_prev & is_mc[..., None, :], axis=-1)
     use_pred = (mba == 1) & prev_mc & (idx % 11 != 0) & (prev_idx >= 0)
     pred = jnp.where(use_pred[..., None], prev_mv, 0)
     mvd = wrap_mvd(mvt - pred)
-    mvd_bits = jnp.asarray(_MVD_LEN)[mvd + 16].sum(axis=-1)
+    mvd_bits = _sel(_MVD_LEN, mvd + 16).sum(axis=-1)
 
-    cbp_bits = jnp.asarray(_CBP_LEN)[jnp.clip(cbpt, 0, 63)]
+    cbp_bits = _sel(_CBP_LEN, jnp.clip(cbpt, 0, 63))
 
     # per-block coefficient bits + EOB + intra DC FLC
     bb = block_bits(levelst, is_intra[..., None])          # (..., 33, 6)
@@ -183,14 +204,11 @@ def gob_payload_bits(codedt: jnp.ndarray, mtypet: jnp.ndarray,
 
 def to_transmission(fmt: Format, coded, mtype, mv, cbp, levels):
     """Reorder raster-MB-order arrays into (nGOB, 33, ...) transmission
-    order for the per-GOB bit model."""
-    perm = jnp.asarray(transmission_order(fmt))
-    ngob = fmt.num_gobs
-    return (coded[perm].reshape(ngob, MBS_PER_GOB),
-            mtype[perm].reshape(ngob, MBS_PER_GOB),
-            mv[perm].reshape(ngob, MBS_PER_GOB, 2),
-            cbp[perm].reshape(ngob, MBS_PER_GOB),
-            levels[perm].reshape(ngob, MBS_PER_GOB, 6, 64))
+    order for the per-GOB bit model (pure layout transform, gather-free)."""
+    from ..core.blocks import to_gob_order
+    return (to_gob_order(fmt, coded), to_gob_order(fmt, mtype),
+            to_gob_order(fmt, mv), to_gob_order(fmt, cbp),
+            to_gob_order(fmt, levels))
 
 
 def frame_bits(fmt: Format,

@@ -122,6 +122,10 @@ class Format:
         return len(self.gob_numbers)
 
     @property
+    def gob_rows(self) -> int:
+        return self.num_gobs // self.gob_cols
+
+    @property
     def is_cif(self) -> bool:
         return self.name == "CIF"
 
