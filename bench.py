@@ -30,7 +30,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def run_parity_gate() -> None:
+    """Run the hardware parity gate (tools/tpu_parity.py) in a subprocess.
+
+    Round-1 lesson: all unit tests force CPU, so TPU-only numeric behavior
+    (MXU default-precision bf16 rounding) shipped unnoticed.  The gate
+    asserts SAD/DCT exactness vs int64 oracles and TPU==CPU bitstream
+    equality on adversarial content, in the same session that produces the
+    benchmark number.  Skip with P64_SKIP_PARITY=1 (e.g. CPU-only smoke)."""
+    if os.environ.get("P64_SKIP_PARITY") == "1":
+        log("parity gate SKIPPED (P64_SKIP_PARITY=1)")
+        return
+    import subprocess
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "tpu_parity.py")
+    r = subprocess.run([sys.executable, tool], stdout=sys.stderr,
+                       stderr=sys.stderr)
+    if r.returncode != 0:
+        log("PARITY GATE FAILED -- benchmark aborted "
+            "(a fast wrong encoder is worthless)")
+        raise SystemExit(1)
+
+
 def main() -> int:
+    run_parity_gate()
     streams = int(os.environ.get("P64_BENCH_STREAMS", "16"))
     frames_t = int(os.environ.get("P64_BENCH_FRAMES", "8"))
     reps = int(os.environ.get("P64_BENCH_REPS", "3"))

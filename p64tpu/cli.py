@@ -57,8 +57,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true",
                    help="per-frame statistics")
     p.add_argument("input", nargs="?",
-                   help="encode input: .y4m, raw .yuv, or PVRG prefix")
+                   help="encode input: .y4m, raw .yuv, or PVRG prefix; "
+                        "decode: optional source for PSNR reporting")
     return p
+
+
+def _validate(args) -> Optional[str]:
+    """Reject out-of-range flags instead of silently corrupting the stream
+    (a fixed quantizer of 0 would emit the forbidden GQUANT=0; a search
+    range > 15 exceeds the H.261 MV range and the MC select sweep)."""
+    if not args.decode and not 1 <= args.quant <= 31:
+        return f"-q/--quant must be 1..31 (got {args.quant})"
+    if not 0 <= args.search <= DEFAULT_SEARCH_RANGE:
+        return (f"-i/--search must be 0..{DEFAULT_SEARCH_RANGE} "
+                f"(got {args.search})")
+    if args.rate < 0:
+        return f"-r/--rate must be >= 0 (got {args.rate})"
+    if args.frame_rate <= 0:
+        return f"-f/--frame-rate must be positive (got {args.frame_rate})"
+    if args.intra_period < 0:
+        return f"-I/--intra-period must be >= 0 (got {args.intra_period})"
+    if args.first < 0 or (args.last is not None and args.last < args.first):
+        return f"bad frame range -a {args.first} -b {args.last}"
+    return None
 
 
 def run_encode(args) -> int:
@@ -115,6 +136,22 @@ def run_decode(args) -> int:
         yuv.write_raw(out, frames)
     else:
         yuv.write_pvrg(out, frames, args.first)
+    if args.input:
+        # decode-mode PSNR vs the original source (stat.c analogue)
+        src, sfmt = yuv.load_input(args.input, parsed[0].fmt, args.first,
+                                   args.last)
+        if sfmt is not parsed[0].fmt:
+            print(f"p64tpu: source is {sfmt.name}, stream is "
+                  f"{parsed[0].fmt.name}", file=sys.stderr)
+            return 1
+        n = min(len(parsed), src["y"].shape[0])
+        for i in range(n):
+            print(stats.frame_report(
+                i, True, 0,
+                dict(y=y[i], cb=cb[i], cr=cr[i]),
+                {k: src[k][i] for k in ("y", "cb", "cr")}))
+        print(f"sequence Y PSNR {stats.psnr(y[:n], src['y'][:n]):.2f} dB "
+              f"over {n} frames")
     if args.verbose:
         for i, p in enumerate(parsed):
             print(f"frame {i:4d}: TR {p.tr:2d} {p.fmt.name} "
@@ -126,12 +163,20 @@ def run_decode(args) -> int:
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
-    if args.decode:
-        return run_decode(args)
-    if not args.input:
-        print("encode mode needs an input", file=sys.stderr)
-        return 1
-    return run_encode(args)
+    err = _validate(args)
+    if err:
+        print(f"p64tpu: {err}", file=sys.stderr)
+        return 2
+    try:
+        if args.decode:
+            return run_decode(args)
+        if not args.input:
+            print("encode mode needs an input", file=sys.stderr)
+            return 1
+        return run_encode(args)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"p64tpu: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

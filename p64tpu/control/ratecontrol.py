@@ -68,10 +68,13 @@ class RateConfig:
 def gob_quant(cfg: RateConfig, buffer_bits: jnp.ndarray) -> jnp.ndarray:
     """QUANT for the next GOB from current buffer fullness (int32)."""
     if not cfg.enabled:
+        # clamp: GQUANT 0 is forbidden on the wire (own parser rejects it),
+        # so a misconfigured fixed_quant must not produce an illegal stream.
         # + buffer*0 keeps the value data-dependent so its varying type
         # under shard_map matches the rate-controlled path (see
         # core.encoder._skip_picture for the same pattern)
-        return jnp.int32(cfg.fixed_quant) + buffer_bits.astype(jnp.int32) * 0
+        q = min(max(cfg.fixed_quant, QUANT_MIN), QUANT_MAX)
+        return jnp.int32(q) + buffer_bits.astype(jnp.int32) * 0
     q = buffer_bits // jnp.int32(cfg.qdfact) + jnp.int32(cfg.qoffs)
     return jnp.clip(q, QUANT_MIN, QUANT_MAX).astype(jnp.int32)
 

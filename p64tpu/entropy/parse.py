@@ -182,10 +182,18 @@ def _parse_gob(r: BitReader, out: ParsedFrame, gi: int,
     prev_mv = (0, 0)
     prev_was_mc = False
     while True:
-        if r.remaining < 16 or r.peek(16) == 1:
-            return           # next start code (or end)
-        if r.remaining < 24 and r.peek(min(r.remaining, 24)) == 0:
+        rem = r.remaining
+        if rem == 0:
+            return
+        if rem >= 16 and r.peek(16) == 1:
+            return           # next start code
+        if rem < 24 and r.peek(min(rem, 24)) == 0:
             return           # zero padding tail
+        # NOTE: a final MB can be as short as 6 bits and end flush with the
+        # byte boundary, so `rem < 16` alone is NOT end-of-data -- only a
+        # start code or an all-zero tail is (a `rem < 16` bail here used to
+        # drop a trailing MC-no-coeff macroblock; caught by
+        # tests/test_roundtrip.py once decisions shifted).
         sym = _decode_vlc(r, luts.MBA_LUT, "MBA")
         if sym == luts.MBA_STUFFING_SYMBOL:
             continue

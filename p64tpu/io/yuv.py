@@ -143,7 +143,13 @@ def load_input(path: str, fmt: Optional[Format] = None,
     """Auto-detecting loader: .y4m, raw .yuv/.i420 (needs fmt), or a PVRG
     prefix (needs fmt).  Applies the [first, last] frame range."""
     if path.endswith(".y4m"):
+        want = fmt
         frames, fmt = read_y4m(path)
+        if want is not None and want is not fmt:
+            raise ValueError(
+                f"{path} is {fmt.name} ({fmt.width}x{fmt.height}) but "
+                f"-x {want.name} was requested -- remove -x or fix the "
+                f"input")
     elif os.path.exists(path):
         if fmt is None:
             raise ValueError("raw YUV input needs an explicit format "

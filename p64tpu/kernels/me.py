@@ -131,8 +131,14 @@ def sad_map_shifted(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
             pc.astype(dt), ad,
             dimension_numbers=(((0,), (2,)), ((), ())),
             preferred_element_type=jnp.float32)            # (C, side, h)
+        # HIGHEST precision: `part` holds integers up to 16*255 = 4080,
+        # which is NOT bf16-representable; at default TPU matmul precision
+        # the MXU rounds f32 inputs to bf16 (hardware-verified wrong in
+        # round 1).  HIGHEST splits each f32 input into hi+lo bf16 terms --
+        # exact for integers < 2^16 -- so the dot is bit-exact on the MXU.
         sums = jax.lax.dot_general(
             part, pr, dimension_numbers=(((2,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)            # (C, side, R)
         return jnp.transpose(sums, (1, 2, 0)).reshape(side, n_mb)
 

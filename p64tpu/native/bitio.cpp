@@ -398,11 +398,16 @@ int64_t p64_parse(
       int quant = (int)gquant;
       int addr = -1;
       int prev_mvx = 0, prev_mvy = 0, prev_was_mc = 0;
-      // MB loop
+      // MB loop.  NOTE: a final MB can be as short as 6 bits and end flush
+      // with the byte boundary, so "fewer than 16 bits left" alone is NOT
+      // end-of-data -- only a start code or an all-zero tail is (mirrors
+      // entropy/parse.py::_parse_gob; the old `rem < 16` bail dropped a
+      // trailing MC-no-coeff macroblock).
       for (;;) {
-        if (r.nbits - r.pos < 16 || br_peek(&r, 16) == 1) break;
-        if (r.nbits - r.pos < 24 &&
-            br_peek(&r, (int)(r.nbits - r.pos)) == 0) break;
+        int64_t rem = r.nbits - r.pos;
+        if (rem == 0) break;
+        if (rem >= 16 && br_peek(&r, 16) == 1) break;  // next start code
+        if (rem < 24 && br_peek(&r, (int)rem) == 0) break;  // zero-pad tail
         uint32_t peek = br_peek(&r, 11);
         int sym = t->mba_sym[peek];
         int nb = t->mba_nbits[peek];

@@ -46,3 +46,46 @@ def test_cli_bad_stream(tmp_path):
     bad = tmp_path / "bad.p64"
     bad.write_bytes(b"\xff" * 32)
     assert main(["-d", "-s", str(bad), "-o", str(tmp_path / "x.y4m")]) == 1
+
+
+def test_cli_rejects_bad_flags(tmp_path, capsys):
+    inp = tmp_path / "in.y4m"
+    _write_y4m(inp, t=1)
+    stream = str(tmp_path / "o.p64")
+    # -q outside 1..31 (0 would emit the forbidden GQUANT=0)
+    assert main(["-s", stream, "-q", "0", str(inp)]) == 2
+    assert main(["-s", stream, "-q", "32", str(inp)]) == 2
+    # -i outside 0..15 (H.261 MV range; select sweep is hardwired to +/-15)
+    assert main(["-s", stream, "-i", "16", str(inp)]) == 2
+    assert main(["-s", stream, "-i", "-1", str(inp)]) == 2
+    # negative rate / nonpositive frame rate / bad range
+    assert main(["-s", stream, "-r", "-5", str(inp)]) == 2
+    assert main(["-s", stream, "-f", "0", str(inp)]) == 2
+    assert main(["-s", stream, "-a", "3", "-b", "1", str(inp)]) == 2
+    err = capsys.readouterr().err
+    assert "1..31" in err and "0..15" in err
+
+
+def test_cli_y4m_format_mismatch(tmp_path, capsys):
+    inp = tmp_path / "in.y4m"
+    _write_y4m(inp, t=1)   # QCIF content
+    stream = str(tmp_path / "o.p64")
+    assert main(["-s", stream, "-x", "CIF", str(inp)]) == 2
+    assert "QCIF" in capsys.readouterr().err
+
+
+def test_cli_missing_input_file(tmp_path, capsys):
+    assert main(["-s", str(tmp_path / "o.p64"),
+                 str(tmp_path / "nope.y4m")]) == 2
+
+
+def test_cli_decode_psnr_vs_source(tmp_path, capsys):
+    inp = tmp_path / "in.y4m"
+    stream = tmp_path / "out.p64"
+    dec = tmp_path / "dec.y4m"
+    _write_y4m(inp, t=2)
+    assert main(["-s", str(stream), "-q", "8", str(inp)]) == 0
+    capsys.readouterr()
+    assert main(["-d", "-s", str(stream), "-o", str(dec), str(inp)]) == 0
+    out = capsys.readouterr().out
+    assert "sequence Y PSNR" in out and "dB" in out

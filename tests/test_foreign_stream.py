@@ -73,3 +73,52 @@ def test_mquant_midgob_device_decode():
 
     # uncoded MBs reconstruct as copies of the (zero) initial reference
     assert (y[:16, 32:] == 0).all()
+
+
+def _tail_mb_stream():
+    """Stream whose very last macroblock is MC-no-coeff and short (6 bits):
+    MBA 1 + MTYPE inter_mc '001' + MVD(0,0) '1','1'.  Regression for the
+    parser bail that dropped trailing MBs with fewer than 16 bits left."""
+    w = BitWriter()
+    w.put(0x00010, 20)   # PSC
+    w.put(0, 5)          # TR
+    w.put(0b000011, 6)   # PTYPE QCIF
+    w.put(0, 1)          # PEI
+    for gn in (1, 3, 5):
+        w.put(1, 16)
+        w.put(gn, 4)
+        w.put(10, 5)     # GQUANT
+        w.put(0, 1)      # GEI
+        if gn == 5:
+            # one intra MB so the GOB is not empty, then the tail MC MB
+            w.put_str("1")        # MBA 1
+            w.put_str("0001")     # MTYPE intra
+            for _ in range(6):
+                w.put(50, 8)
+                w.put_str("10")   # EOB
+            w.put_str("1")        # MBA 1 -> in-GOB idx 1 (raster 67)
+            w.put_str("001")      # MTYPE inter+MC (no coef)
+            w.put_str("1")        # MVD x = 0
+            w.put_str("1")        # MVD y = 0
+    return w.getvalue()
+
+
+def test_trailing_short_mc_mb_parsed():
+    data = _tail_mb_stream()
+    for parse in _parsers():
+        frames = parse(data)
+        f = frames[0]
+        assert f.coded[66] and f.intra[66]
+        assert f.coded[67], "trailing 6-bit MC macroblock must be parsed"
+        assert f.mc[67] and not f.intra[67]
+        assert tuple(f.mv[67]) == (0, 0)
+        assert f.cbp[67] == 0
+
+
+def _parsers():
+    from p64tpu.native import load
+    ps = [parse_stream]
+    native = load()
+    if native is not None:
+        ps.append(native.parse)
+    return ps

@@ -54,10 +54,47 @@ def test_dct_int32_bounds_safe():
     got = np.asarray(dct.fdct8x8(jnp.asarray(x, dtype=jnp.int32)))
     np.testing.assert_array_equal(got, f64)
     c = np.where(RNG.integers(0, 2, (8, 8, 8)) > 0, 2047, -2048).astype(np.int64)
-    t64 = (np.einsum("ux,nuv->nxv", mi, c) + (1 << 10)) >> 11
-    y64 = (np.einsum("nxv,vy->nxy", t64, mi) + (1 << 14)) >> 15
+    s1, s2 = dct.INV_SHIFT1, dct.INV_SHIFT2
+    t64 = (np.einsum("ux,nuv->nxv", mi, c) + (1 << (s1 - 1))) >> s1
+    y64 = (np.einsum("nxv,vy->nxy", t64, mi) + (1 << (s2 - 1))) >> s2
     got = np.asarray(dct.idct8x8(jnp.asarray(c, dtype=jnp.int32)))
     np.testing.assert_array_equal(got, y64)
+    # analytic worst-case stage-2 magnitude stays inside int32 for ANY
+    # (foreign-stream) coefficient block.
+    colmax = int(np.abs(mi).sum(axis=0).max())
+    t_max = (colmax * 2048 + (1 << (s1 - 1))) >> s1
+    assert t_max * colmax + (1 << (s2 - 1)) < 2 ** 31
+
+
+def test_idct_ieee1180_conformance():
+    """IEEE Std 1180-1990 statistical accuracy of the inverse DCT.
+
+    H.261 requires decoder IDCTs to meet the IEEE-1180 bounds (H.261
+    section 3.2.3); this is what makes decoding *foreign* compliant
+    streams legal.  Procedure: random blocks in [-L, H], forward float64
+    DCT -> rounded/clamped coefficients -> integer IDCT under test vs the
+    rounded float64 oracle.  Bounds: ppe <= 1, pmse <= 0.06, omse <= 0.02,
+    pme <= 0.015, ome <= 0.0015; plus zero-in -> zero-out.
+    """
+    nblocks = 10000
+    for (L, H) in ((256, 255), (5, 5), (300, 300)):
+        for sign in (1, -1):
+            rng = np.random.default_rng(1180 + L + sign)
+            f = rng.integers(-L, H + 1, (nblocks, 8, 8)).astype(np.int64)
+            f *= sign
+            F = np.round(dct.reference_fdct(f)).clip(-2048, 2047)
+            ref = np.round(dct.reference_idct(F)).clip(-256, 255)
+            got = np.asarray(
+                dct.idct8x8(jnp.asarray(F, jnp.int32))).clip(-256, 255)
+            e = (got - ref).astype(np.float64)
+            tag = f"L={L} H={H} sign={sign}"
+            assert np.abs(e).max() <= 1, tag                    # ppe
+            assert (e ** 2).mean(axis=0).max() <= 0.06, tag     # pmse
+            assert (e ** 2).mean() <= 0.02, tag                 # omse
+            assert np.abs(e.mean(axis=0)).max() <= 0.015, tag   # pme
+            assert abs(e.mean()) <= 0.0015, tag                 # ome
+    zero = np.asarray(dct.idct8x8(jnp.zeros((4, 8, 8), jnp.int32)))
+    assert not zero.any()
 
 
 def test_quant_dequant_laws():

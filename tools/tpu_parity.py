@@ -1,0 +1,248 @@
+"""Hardware parity gate: proves the TPU production paths are bit-exact.
+
+Round-1 shipped a TPU motion-estimation path that was NOT bit-exact on the
+real chip (the MXU rounds f32 matmul inputs to bf16 at default precision;
+see kernels/me_pallas.py) while all 85 tests -- which force CPU -- passed.
+This gate closes that hole.  It is meant to run IN THE TPU SESSION next to
+bench.py (bench.py invokes it unless P64_SKIP_PARITY=1) and asserts:
+
+  1. SAD-map exactness: every SAD formulation (the production full_search
+     dispatch included) equals an int64 numpy oracle on random planes at
+     search=15, and the chosen motion vectors match the documented
+     scan-order tie-break contract.
+  2. Integer DCT/IDCT exactness: device fdct8x8/idct8x8 equal an int64
+     numpy re-computation (catches any backend lowering integer matmuls
+     through a lossy float path).
+  3. End-to-end bitstream equality: the SAME adversarial sequences (noise,
+     scene cut, periodic near-tie content, smooth+moving) encoded on this
+     backend and on a CPU subprocess produce byte-identical .p64 streams.
+
+Usage:
+  python tools/tpu_parity.py            # full gate (spawns a CPU subprocess)
+  python tools/tpu_parity.py --encode-only OUTPATH   # internal helper
+
+Exit status 0 = all parity checks passed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print("[tpu_parity]", *a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# adversarial content (deterministic)
+# ---------------------------------------------------------------------------
+
+
+def adversarial_sequences():
+    """Dict of name -> (T, H, W) uint8 luma sequences (QCIF) designed to
+    surface SAD near-ties and threshold-edge decisions."""
+    h, w, t = 144, 176, 5
+    rng = np.random.default_rng(20260819)
+    seqs = {}
+    seqs["noise"] = rng.integers(0, 256, (t, h, w)).astype(np.uint8)
+    # scene cut at frame 2
+    a = rng.integers(0, 256, (h, w))
+    b = rng.integers(0, 256, (h, w))
+    seqs["scenecut"] = np.stack([a, a, b, b, b]).astype(np.uint8)
+    # periodic texture: every 8-pel shift is an exact SAD tie
+    yy, xx = np.mgrid[0:h, 0:w]
+    per = ((xx % 8 < 4) ^ (yy % 8 < 4)).astype(np.uint8) * 180 + 40
+    seqs["periodic"] = np.stack(
+        [np.roll(per, i, axis=1) for i in range(t)]).astype(np.uint8)
+    # smooth gradient + moving square + mild noise (near-threshold deltas)
+    frames = []
+    base = (16 + (xx * 3 + yy * 2) // 8) % 220
+    for i in range(t):
+        f = base.copy()
+        f[(30 + 3 * i):(30 + 3 * i) + 32, (20 + 5 * i):(20 + 5 * i) + 32] += 40
+        f = f + rng.integers(0, 3, (h, w))
+        frames.append(np.clip(f, 0, 255))
+    seqs["smooth"] = np.stack(frames).astype(np.uint8)
+    return seqs
+
+
+def encode_all(out_path: str) -> None:
+    import jax.numpy as jnp
+    from p64tpu.control.ratecontrol import RateConfig
+    from p64tpu.core import encoder
+    from p64tpu.spec.constants import QCIF
+
+    blob = bytearray()
+    for name, y in sorted(adversarial_sequences().items()):
+        cb = (y[:, ::2, ::2] // 2 + 64).astype(np.uint8)
+        cr = (255 - y[:, 1::2, ::2] // 2).astype(np.uint8)
+        frames = dict(y=jnp.asarray(y), cb=jnp.asarray(cb),
+                      cr=jnp.asarray(cr))
+        for tag, rate in (("q10", RateConfig(fixed_quant=10)),
+                          ("rc", RateConfig(bit_rate=192_000,
+                                            frame_rate=30))):
+            cfg = encoder.EncoderConfig(fmt=QCIF, rate=rate)
+            data, _, _ = encoder.encode_to_bytes(cfg, frames)
+            blob += f"{name}:{tag}:{len(data)}\n".encode()
+            blob += data
+    with open(out_path, "wb") as f:
+        f.write(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# kernel-level checks
+# ---------------------------------------------------------------------------
+
+
+def np_sad_oracle(cur: np.ndarray, ref: np.ndarray, search: int):
+    """int64 dense SAD map + argmin MVs with the documented scan order."""
+    h, w = cur.shape
+    mbr, mbc = h // 16, w // 16
+    n_mb = mbr * mbc
+    side = 2 * search + 1
+    c = cur.astype(np.int64)
+    rp = np.pad(ref.astype(np.int64), search)
+    out = np.full((side * side, n_mb), 1 << 30, np.int64)
+    k = 0
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            win = rp[search + dy:search + dy + h,
+                     search + dx:search + dx + w]
+            s = np.abs(c - win).reshape(mbr, 16, mbc, 16).sum((1, 3))
+            s = s.reshape(n_mb)
+            y0 = (np.arange(n_mb) // mbc) * 16 + dy
+            x0 = (np.arange(n_mb) % mbc) * 16 + dx
+            ok = (y0 >= 0) & (x0 >= 0) & (y0 + 16 <= h) & (x0 + 16 <= w)
+            out[k, ok] = s[ok]
+            k += 1
+    return out
+
+
+def check_sad() -> bool:
+    import jax
+    import jax.numpy as jnp
+    from p64tpu.kernels import me, me_pallas
+
+    ok = True
+    rng = np.random.default_rng(7)
+    h, w, s = 144, 176, 15
+    planes = {
+        "random": (rng.integers(0, 256, (h, w), np.uint8),
+                   rng.integers(0, 256, (h, w), np.uint8)),
+        # near-tie content: periodic texture shifted by half a period
+        "periodic": ((((np.mgrid[0:h, 0:w][1] % 8 < 4)) * 200 + 20
+                      ).astype(np.uint8),
+                     np.roll((((np.mgrid[0:h, 0:w][1] % 8 < 4)) * 200 + 20
+                              ).astype(np.uint8), 4, axis=1)),
+    }
+    for pname, (cur, ref) in planes.items():
+        gold = np_sad_oracle(cur, ref, s)
+        valid = gold < (1 << 30)
+        cj, rj = jnp.asarray(cur), jnp.asarray(ref)
+        variants = {
+            "pallas_bf16": lambda: me_pallas.sad_map_pallas_bf16(cj, rj, s),
+            "shifted": lambda: jax.jit(me.sad_map_shifted,
+                                       static_argnums=2)(cj, rj, s),
+            "i8": lambda: jax.jit(me.sad_map_i8, static_argnums=2)(cj, rj, s),
+        }
+        for vname, fn in variants.items():
+            got = np.asarray(fn()).astype(np.int64)
+            bad = int(((got != gold) & valid).sum())
+            if bad:
+                log(f"FAIL sad[{pname}/{vname}]: {bad} wrong entries")
+                ok = False
+            else:
+                log(f"ok   sad[{pname}/{vname}]: exact")
+        # production dispatch end-to-end: MVs + SADs under the tie-break
+        # contract (argmin keeps the FIRST minimum in dy-major scan order)
+        mv, best, sad0 = (np.asarray(x) for x in
+                          me.full_search(cj.astype(jnp.int32), rj, s))
+        bi = gold.argmin(axis=0)
+        offs = me.offset_table(s)
+        want_mv = np.stack([offs[bi][:, 1], offs[bi][:, 0]], axis=-1)
+        if not (np.array_equal(mv, want_mv)
+                and np.array_equal(best, gold.min(axis=0))
+                and np.array_equal(sad0, gold[me.zero_offset_index(s)])):
+            log(f"FAIL full_search[{pname}]: MV/SAD mismatch "
+                f"({int((mv != want_mv).any(axis=-1).sum())} MBs)")
+            ok = False
+        else:
+            log(f"ok   full_search[{pname}]: MVs + SADs exact")
+    return ok
+
+
+def check_dct() -> bool:
+    import jax.numpy as jnp
+    from p64tpu.kernels import dct
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-255, 256, (2048, 8, 8)).astype(np.int64)
+    mi = dct.MI.astype(np.int64)
+    t = (np.einsum("ux,nxy->nuy", mi, x) + (1 << (dct.FWD_SHIFT1 - 1))
+         ) >> dct.FWD_SHIFT1
+    want_f = (np.einsum("nuy,vy->nuv", t, mi) + (1 << (dct.FWD_SHIFT2 - 1))
+              ) >> dct.FWD_SHIFT2
+    got_f = np.asarray(dct.fdct8x8(jnp.asarray(x, jnp.int32)))
+    c = rng.integers(-2048, 2048, (2048, 8, 8)).astype(np.int64)
+    t = (np.einsum("ux,nuv->nxv", mi, c) + (1 << (dct.INV_SHIFT1 - 1))
+         ) >> dct.INV_SHIFT1
+    want_i = (np.einsum("nxv,vy->nxy", t, mi) + (1 << (dct.INV_SHIFT2 - 1))
+              ) >> dct.INV_SHIFT2
+    got_i = np.asarray(dct.idct8x8(jnp.asarray(c, jnp.int32)))
+    ok = np.array_equal(got_f, want_f) and np.array_equal(got_i, want_i)
+    log(("ok   dct: fdct/idct exact on device") if ok
+        else "FAIL dct: device integer DCT != int64 oracle")
+    return ok
+
+
+def check_encode_cross_backend() -> bool:
+    """Encode adversarial content here and in a CPU subprocess; compare."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        here = os.path.join(td, "here.bin")
+        cpu = os.path.join(td, "cpu.bin")
+        encode_all(here)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--encode-only", cpu],
+            env=env, capture_output=True, text=True)
+        if r.returncode != 0:
+            log("FAIL encode: CPU subprocess failed:", r.stderr[-500:])
+            return False
+        a = open(here, "rb").read()
+        b = open(cpu, "rb").read()
+        ha, hb = hashlib.sha256(a).hexdigest(), hashlib.sha256(b).hexdigest()
+        if a != b:
+            log(f"FAIL encode: bitstreams differ (tpu {ha[:16]} vs cpu "
+                f"{hb[:16]}, lens {len(a)} vs {len(b)})")
+            return False
+        log(f"ok   encode: {len(a)} bytes byte-identical across backends "
+            f"(sha256 {ha[:16]})")
+        return True
+
+
+def main() -> int:
+    if len(sys.argv) == 3 and sys.argv[1] == "--encode-only":
+        encode_all(sys.argv[2])
+        return 0
+    import jax
+    log(f"backend = {jax.default_backend()}, devices = {jax.devices()}")
+    ok = check_sad()
+    ok &= check_dct()
+    ok &= check_encode_cross_backend()
+    log("PARITY PASS" if ok else "PARITY FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
