@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ME search range 0..15 (0 = intra only)")
     p.add_argument("-I", "--intra-period", type=int, default=0,
                    help="force an all-intra frame every N frames")
+    p.add_argument("-m", "--mquant-segments", type=int, default=1,
+                   help="mid-GOB quantizer adaptation: segments per GOB "
+                        "(1 = GQUANT only; needs -r)")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="per-frame statistics")
     p.add_argument("input", nargs="?",
@@ -77,6 +80,11 @@ def _validate(args) -> Optional[str]:
         return f"-f/--frame-rate must be positive (got {args.frame_rate})"
     if args.intra_period < 0:
         return f"-I/--intra-period must be >= 0 (got {args.intra_period})"
+    if not 1 <= args.mquant_segments <= 33:
+        return ("-m/--mquant-segments must be 1..33 "
+                f"(got {args.mquant_segments})")
+    if args.mquant_segments > 1 and args.rate <= 0:
+        return "-m/--mquant-segments > 1 needs rate control (-r)"
     if args.first < 0 or (args.last is not None and args.last < args.first):
         return f"bad frame range -a {args.first} -b {args.last}"
     return None
@@ -90,7 +98,8 @@ def run_encode(args) -> int:
         print("no input frames", file=sys.stderr)
         return 1
     rate = RateConfig(bit_rate=args.rate, frame_rate=args.frame_rate,
-                      fixed_quant=args.quant)
+                      fixed_quant=args.quant,
+                      mquant_segments=args.mquant_segments)
     cfg = EncoderConfig(fmt=fmt, search=max(args.search, 0), rate=rate,
                         intra_only=args.search <= 0,
                         intra_period=args.intra_period)

@@ -42,6 +42,14 @@ class RateConfig:
     qoffs: int = 1
     skip_threshold_x: int = 4
     fixed_quant: int = 8
+    #: mid-GOB quantizer adaptation: split each GOB into this many segments
+    #: (transmission order); each later segment re-evaluates the buffer law
+    #: including the modeled bits of earlier segments, and a changed
+    #: quantizer is signaled with MQUANT on the segment's first
+    #: coefficient-bearing MB (H.261 section 4.2.3; our granularity choice,
+    #: calibration-pending -- SURVEY section 3d "verify granularity").
+    #: 1 = one quantizer per GOB (GQUANT only, the round-1 behavior).
+    mquant_segments: int = 1
     #: quantizer the very first GOB should see (seeds the virtual buffer so
     #: the first intra frame is not coded at QUANT=1 and does not blow the
     #: budget; RM8-style warm start, calibration-pending)

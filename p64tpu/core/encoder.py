@@ -95,6 +95,20 @@ def _mtype_from_flags(intra, use_mc, fil, has_coef):
     return mt
 
 
+#: base MTYPE -> its MQUANT variant (identity where none exists; only
+#: coefficient-bearing types can carry MQUANT, per the H.261 MTYPE table).
+_MQ_UPGRADE = np.arange(len(MTYPE_BY_NAME), dtype=np.int32)
+for _base, _mq in (("intra", "intra_mquant"), ("inter", "inter_mquant"),
+                   ("inter_mc_coef", "inter_mc_mquant"),
+                   ("inter_fil_coef", "inter_fil_mquant")):
+    _MQ_UPGRADE[_MT[_base]] = _MT[_mq]
+
+
+def _upgrade_mtype_mquant(mtype, mq_flag):
+    up = jnp.asarray(_MQ_UPGRADE)[mtype]
+    return jnp.where(mq_flag, up, mtype)
+
+
 def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     """The coded-picture body (no skip logic).  Returns (new_state, out)."""
     fmt = cfg.fmt
@@ -162,17 +176,72 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
             coded, mtype, mv_g, cbp, levels) + lengths.GOB_HEADER_BITS
         return levels, cbp, mtype, coded, bits
 
+    def process_gob_mquant(coefs_g, intra_g, mc_g, fil_g, mv_g, buffer):
+        """One GOB with mid-GOB MQUANT adaptation (RateConfig.mquant_segments
+        > 1): segment s re-evaluates the buffer law including the modeled
+        bits of earlier segments (first-pass model at the GOB quantizer); a
+        changed quantizer is signaled on the segment's first
+        coefficient-bearing MB via an MQUANT MTYPE variant."""
+        nseg = cfg.rate.mquant_segments
+        seg_id = jnp.asarray((np.arange(MBS_PER_GOB) * nseg) // MBS_PER_GOB)
+        q0 = gob_quant(cfg.rate, buffer)
+        # pass 1: per-MB cost model at q0 picks the per-segment quantizers
+        lv0, cbp0, mt0, coded0, _ = process_gob(
+            coefs_g, intra_g, mc_g, fil_g, mv_g, q0)
+        mb0 = lengths.gob_payload_bits_per_mb(coded0, mt0, mv_g, cbp0, lv0)
+        seg_oh = seg_id[None, :] == jnp.arange(nseg)[:, None]     # (S, 33)
+        seg_bits = jnp.where(seg_oh, mb0[None, :], 0).sum(-1)
+        prefix = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(seg_bits)[:-1]])
+        q_seg = gob_quant(cfg.rate, buffer + prefix)              # (S,)
+        q_mb = jnp.where(seg_oh, q_seg[:, None], 0).sum(0)        # (33,)
+        # pass 2: real quantization at the per-MB quantizer
+        levels = quantize(coefs_g, q_mb[:, None, None, None],
+                          intra_g[..., None, None, None])
+        weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
+        cbp = jnp.where((levels != 0).any(axis=-1), weights, 0).sum(axis=-1)
+        has_coef = cbp > 0
+        coded = intra_g | mc_g | has_coef
+        levels = jnp.where(coded[..., None, None], levels, 0)
+        # effective-quant chain: only a coefficient-bearing MB can carry
+        # MQUANT, so a coefficient-free segment leaves the chain unchanged
+        # (its levels are all zero -- any quant dequantizes them to zero).
+        idxs = jnp.arange(MBS_PER_GOB)
+        eff = q0
+        mq_flag = jnp.zeros(MBS_PER_GOB, bool)
+        quant_mb = q_mb
+        for s in range(1, nseg):
+            in_s = seg_id == s
+            segcoef = has_coef & in_s
+            change = segcoef.any() & (q_seg[s] != eff)
+            first = jnp.argmax(segcoef)
+            mq_flag = mq_flag | (change & (idxs == first))
+            eff = jnp.where(change, q_seg[s], eff)
+            quant_mb = jnp.where(in_s, eff, quant_mb)
+        mtype = _upgrade_mtype_mquant(
+            _mtype_from_flags(intra_g, mc_g, fil_g, has_coef), mq_flag)
+        bits = lengths.gob_payload_bits(
+            coded, mtype, mv_g, cbp, levels) + lengths.GOB_HEADER_BITS
+        return levels, cbp, mtype, coded, q0, quant_mb, bits
+
     if cfg.rate.enabled:
         # per-GOB quantizer adaptation is a true sequential chain
         # (bits of GOB g feed GOB g+1's quantizer) -> lax.scan.
         def gob_body(buffer, xs):
             coefs_g, intra_g, mc_g, fil_g, mv_g = xs
-            q = gob_quant(cfg.rate, buffer)
-            levels, cbp, mtype, coded, bits = process_gob(
-                coefs_g, intra_g, mc_g, fil_g, mv_g, q)
-            return buffer + bits, (levels, cbp, mtype, coded, q, bits)
+            if cfg.rate.mquant_segments > 1:
+                levels, cbp, mtype, coded, q, quant_mb, bits = (
+                    process_gob_mquant(coefs_g, intra_g, mc_g, fil_g, mv_g,
+                                       buffer))
+            else:
+                q = gob_quant(cfg.rate, buffer)
+                levels, cbp, mtype, coded, bits = process_gob(
+                    coefs_g, intra_g, mc_g, fil_g, mv_g, q)
+                quant_mb = jnp.full((MBS_PER_GOB,), 0, jnp.int32) + q
+            return buffer + bits, (levels, cbp, mtype, coded, q, quant_mb,
+                                   bits)
 
-        buffer_after, (levels_t, cbp_t, mtype_t, coded_t, gquant,
+        buffer_after, (levels_t, cbp_t, mtype_t, coded_t, gquant, quant_t,
                        gob_bits) = jax.lax.scan(
             gob_body, state["buffer"],
             (coefs_t, intra_t, mc_t, fil_t, mv_t))
@@ -185,6 +254,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         levels_t, cbp_t, mtype_t, coded_t, gob_bits = process_gob(
             coefs_t, intra_t, mc_t, fil_t, mv_t,
             gquant[:, None, None, None, None])
+        quant_t = jnp.broadcast_to(gquant[:, None], (ngob, MBS_PER_GOB))
         buffer_after = state["buffer"] + gob_bits.sum()
 
     # un-permute back to raster MB order (pure layout transform)
@@ -198,8 +268,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     total_bits = gob_bits.sum() + lengths.PICTURE_HEADER_BITS
 
     # ---- local reconstruction (the decoder, shared code) ----
-    quant_mb = from_gob_order(
-        fmt, jnp.broadcast_to(gquant[:, None], (ngob, MBS_PER_GOB)))
+    quant_mb = from_gob_order(fmt, quant_t)
     rec_y, rec_cb, rec_cr = reconstruct_frame(
         fmt, levels.astype(jnp.int32), quant_mb, intra & coded, mv,
         fil & coded, state["ref_y"], state["ref_cb"], state["ref_cr"])
@@ -222,6 +291,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         frame_coded=(state["buffer"] * 0) == 0,
         tr=(state["frame_idx"] & 31).astype(jnp.int32),
         gquant=gquant.astype(jnp.int32),
+        quant_mb=quant_mb.astype(jnp.int32),
         coded=coded.astype(bool), mtype=mtype.astype(jnp.int32),
         mv=mv.astype(jnp.int32), cbp=cbp.astype(jnp.int32), levels=levels,
         total_bits=total_bits.astype(jnp.int32),
@@ -253,6 +323,7 @@ def _skip_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         frame_coded=tok > 0,
         tr=(state["frame_idx"] & 31).astype(jnp.int32),
         gquant=zeros(fmt.num_gobs, jnp.int32),
+        quant_mb=zeros(n_mb, jnp.int32),
         coded=zeros(n_mb, bool), mtype=zeros(n_mb, jnp.int32),
         mv=zeros((n_mb, 2), jnp.int32), cbp=zeros(n_mb, jnp.int32),
         levels=zeros((n_mb, 6, 64), jnp.int16),
@@ -319,7 +390,7 @@ def outputs_to_symbols(cfg: EncoderConfig, outputs) -> List[FrameSymbols]:
             tr=int(host["tr"][i]), gquant=host["gquant"][i],
             coded=host["coded"][i], mtype=host["mtype"][i],
             mv=host["mv"][i], cbp=host["cbp"][i],
-            levels=host["levels"][i]))
+            levels=host["levels"][i], quant_mb=host["quant_mb"][i]))
     return syms
 
 

@@ -16,7 +16,7 @@ counts.  Tests assert this equality on every stream.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -54,6 +54,9 @@ class FrameSymbols:
       cbp:     (nMB,) int, coded block pattern; valid where MTYPE has CBP
       levels:  (nMB, 6, 64) int, zigzag-ordered quantized levels.  For intra
                MBs, levels[:, :, 0] holds the DC *level* (1..254).
+      quant_mb: (nMB,) int, effective quantizer per MB -- its value is
+               written as the 5-bit MQUANT field wherever mtype is an
+               MQUANT variant.  May be None when no MB uses MQUANT.
     """
 
     tr: int
@@ -63,6 +66,7 @@ class FrameSymbols:
     mv: np.ndarray
     cbp: np.ndarray
     levels: np.ndarray
+    quant_mb: Optional[np.ndarray] = None
 
 
 def wrap_mvd(mv: int, pred: int) -> int:
@@ -154,9 +158,12 @@ def serialize_frame(fmt: Format, sym: FrameSymbols, sink: _SymSink) -> None:
             sink.put(int(luts.MBA_CODE[idx - prev_idx]),
                      int(luts.MBA_LEN[idx - prev_idx]))
             sink.put(int(luts.MTYPE_CODE[mt]), int(luts.MTYPE_LEN[mt]))
-            assert not luts.MTYPE_MQUANT[mt], (
-                "encoder never emits MQUANT (quant changes at GOB "
-                "boundaries only); decoder still accepts it")
+            if luts.MTYPE_MQUANT[mt]:
+                assert sym.quant_mb is not None, (
+                    "MQUANT MTYPE requires per-MB quant values")
+                q = int(sym.quant_mb[raster])
+                assert 1 <= q <= 31, q
+                sink.put(q, 5)
             if luts.MTYPE_MC[mt]:
                 # predictor resets at MB 1/12/23 of the GOB, on address
                 # gaps, and when the previous MB was not MC-coded.

@@ -56,6 +56,8 @@ _MTYPE_MC = luts.MTYPE_MC.astype(np.bool_)
 _MTYPE_CBP = luts.MTYPE_CBP.astype(np.bool_)
 _MTYPE_TCOEFF = luts.MTYPE_TCOEFF.astype(np.bool_)
 _MTYPE_INTRA = luts.MTYPE_INTRA.astype(np.bool_)
+_MTYPE_MQUANT = luts.MTYPE_MQUANT.astype(np.bool_)
+MQUANT_BITS = 5
 
 
 def _sel(table: np.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -144,17 +146,19 @@ def wrap_mvd(d: jnp.ndarray) -> jnp.ndarray:
     return ((d + 16) % 32) - 16
 
 
-def gob_payload_bits(codedt: jnp.ndarray, mtypet: jnp.ndarray,
-                     mvt: jnp.ndarray, cbpt: jnp.ndarray,
-                     levelst: jnp.ndarray) -> jnp.ndarray:
-    """Exact MB-layer bits of GOBs given transmission-ordered arrays.
+def gob_payload_bits_per_mb(codedt: jnp.ndarray, mtypet: jnp.ndarray,
+                            mvt: jnp.ndarray, cbpt: jnp.ndarray,
+                            levelst: jnp.ndarray) -> jnp.ndarray:
+    """Exact per-MB bit cost of GOBs given transmission-ordered arrays.
 
     Shapes: codedt/mtypet/cbpt (..., 33); mvt (..., 33, 2);
-    levelst (..., 33, 6, 64).  Returns (...,) int32 payload bits
-    (excluding the GOB header).  The MBA and MVD chains are per-GOB by
-    construction (they reset at GOB boundaries), so each GOB is
-    self-contained -- which is what lets per-GOB rate control run as a
-    `lax.scan` calling this on one GOB at a time.
+    levelst (..., 33, 6, 64).  Returns (..., 33) int32 per-MB payload bits
+    (each MB's MBA + MTYPE [+MQUANT] [+MVD] [+CBP] + blocks; GOB header
+    excluded).  The MBA and MVD chains are per-GOB by construction (they
+    reset at GOB boundaries), so each GOB is self-contained -- which is what
+    lets per-GOB rate control run as a `lax.scan` calling this on one GOB at
+    a time, and what lets mid-GOB MQUANT adaptation consume a per-segment
+    prefix of these costs (control.ratecontrol / core.encoder).
     """
     idx = jnp.arange(MBS_PER_GOB, dtype=jnp.int32)
     marks = jnp.where(codedt, idx, -1)
@@ -192,14 +196,25 @@ def gob_payload_bits(codedt: jnp.ndarray, mtypet: jnp.ndarray,
                                                        8, 0),
                          0).sum(axis=-1)
 
+    has_mq = _sel_bool(_MTYPE_MQUANT, mtypet) & codedt
+
     mb_bits = jnp.where(
         codedt,
         mba_bits + mtype_bits
+        + jnp.where(has_mq, MQUANT_BITS, 0)
         + jnp.where(is_mc, mvd_bits, 0)
         + jnp.where(has_cbp, cbp_bits, 0)
         + blk_bits,
         0)
-    return mb_bits.sum(axis=-1).astype(jnp.int32)
+    return mb_bits.astype(jnp.int32)
+
+
+def gob_payload_bits(codedt: jnp.ndarray, mtypet: jnp.ndarray,
+                     mvt: jnp.ndarray, cbpt: jnp.ndarray,
+                     levelst: jnp.ndarray) -> jnp.ndarray:
+    """Exact MB-layer bits of GOBs (sum of gob_payload_bits_per_mb)."""
+    return gob_payload_bits_per_mb(
+        codedt, mtypet, mvt, cbpt, levelst).sum(axis=-1).astype(jnp.int32)
 
 
 def to_transmission(fmt: Format, coded, mtype, mv, cbp, levels):

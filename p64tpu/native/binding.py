@@ -136,6 +136,9 @@ class NativeBitIO:
                                    np.int32)
         levels = np.ascontiguousarray(np.stack([f.levels for f in frames]),
                                       np.int16)
+        quant_mb = np.ascontiguousarray(np.stack(
+            [f.quant_mb if f.quant_mb is not None
+             else np.zeros(n_mb, np.int32) for f in frames]), np.int32)
         perm = transmission_order(fmt).astype(np.int32)
         gn = np.ascontiguousarray(fmt.gob_numbers, np.int32)
         # capacity: worst case ~ every coefficient escapes; generous bound
@@ -147,7 +150,7 @@ class NativeBitIO:
             C.c_int32(n_gob), _ptr(gn), _ptr(perm),
             C.c_int32(ptype_value(fmt.is_cif)), _ptr(tr), _ptr(gq),
             _ptr(coded), _ptr(mtype), _ptr(mv), _ptr(cbp), _ptr(levels),
-            _ptr(out), C.c_int64(cap))
+            _ptr(quant_mb), _ptr(out), C.c_int64(cap))
         if bits < 0:
             raise RuntimeError("serialize overflow")
         return out[: (bits + 7) // 8].tobytes(), int(bits)

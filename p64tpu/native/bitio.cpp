@@ -130,6 +130,7 @@ int64_t p64_serialize(
     const int32_t* mv,               // [n_frames*n_mb*2]
     const int32_t* cbp,              // [n_frames*n_mb]
     const int16_t* levels,           // [n_frames*n_mb*6*64]
+    const int32_t* quant_mb,         // [n_frames*n_mb] (5-bit MQUANT values)
     uint8_t* out, int64_t out_cap_bytes) {
   BitWriter w{out, out_cap_bytes * 8, 0, 0};
   std::memset(out, 0, (size_t)out_cap_bytes);
@@ -162,6 +163,9 @@ int64_t p64_serialize(
         int gap = idx - prev_idx;
         bw_put(&w, t->mba_code[gap], t->mba_len[gap]);
         bw_put(&w, t->mtype_code[mt], t->mtype_len[mt]);
+        if (fl[1]) {  // MQUANT: new 5-bit quantizer
+          bw_put(&w, (uint32_t)quant_mb[f * n_mb + raster], 5);
+        }
         if (fl[2]) {  // MC -> MVD pair
           int px = 0, py = 0;
           if (idx % 11 != 0 && gap == 1 && prev_was_mc) {

@@ -9,7 +9,8 @@ from p64tpu.spec.tables import MTYPE_BY_NAME
 
 def random_frame_symbols(fmt: Format, rng: np.random.Generator,
                          tr: int = 0, p_coded: float = 0.85,
-                         p_intra: float = 0.3) -> FrameSymbols:
+                         p_intra: float = 0.3,
+                         p_mquant: float = 0.0) -> FrameSymbols:
     n = fmt.num_mbs
     coded = rng.random(n) < p_coded
     intra = rng.random(n) < p_intra
@@ -52,5 +53,33 @@ def random_frame_symbols(fmt: Format, rng: np.random.Generator,
     mv[~coded] = 0
 
     gquant = rng.integers(1, 32, fmt.num_gobs).astype(np.int32)
+
+    quant_mb = None
+    if p_mquant > 0:
+        from p64tpu.core.blocks import transmission_order
+        upgrade = {MTYPE_BY_NAME["intra"]: MTYPE_BY_NAME["intra_mquant"],
+                   MTYPE_BY_NAME["inter"]: MTYPE_BY_NAME["inter_mquant"],
+                   MTYPE_BY_NAME["inter_mc_coef"]:
+                       MTYPE_BY_NAME["inter_mc_mquant"],
+                   MTYPE_BY_NAME["inter_fil_coef"]:
+                       MTYPE_BY_NAME["inter_fil_mquant"]}
+        eligible = coded & np.isin(mtype, list(upgrade))
+        pick = eligible & (rng.random(n) < p_mquant)
+        newq = rng.integers(1, 32, n).astype(np.int32)
+        for base, mq in upgrade.items():
+            mtype[pick & (mtype == base)] = mq
+        # effective quantizer chain (GQUANT, updated at each MQUANT MB in
+        # transmission order) -- exactly what a decoder reconstructs.
+        quant_mb = np.zeros(n, np.int32)
+        perm = transmission_order(fmt)
+        mbs_per_gob = perm.size // fmt.num_gobs
+        for gi in range(fmt.num_gobs):
+            eff = int(gquant[gi])
+            for idx in range(mbs_per_gob):
+                raster = int(perm[gi * mbs_per_gob + idx])
+                if pick[raster]:
+                    eff = int(newq[raster])
+                quant_mb[raster] = eff
+
     return FrameSymbols(tr=tr, gquant=gquant, coded=coded, mtype=mtype,
-                        mv=mv, cbp=cbp, levels=levels)
+                        mv=mv, cbp=cbp, levels=levels, quant_mb=quant_mb)

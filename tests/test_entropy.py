@@ -37,10 +37,13 @@ def test_bitwriter_matches_pack():
     assert r.read(1) == 1
 
 
-@pytest.mark.parametrize("fmt,seed", [(QCIF, 0), (QCIF, 1), (CIF, 2)])
-def test_serialize_parse_roundtrip(fmt, seed):
+@pytest.mark.parametrize("fmt,seed,p_mquant",
+                         [(QCIF, 0, 0.0), (QCIF, 1, 0.0), (CIF, 2, 0.0),
+                          (QCIF, 5, 0.3), (CIF, 6, 0.2)])
+def test_serialize_parse_roundtrip(fmt, seed, p_mquant):
     rng = np.random.default_rng(seed)
-    frames = [random_frame_symbols(fmt, rng, tr=t) for t in range(3)]
+    frames = [random_frame_symbols(fmt, rng, tr=t, p_mquant=p_mquant)
+              for t in range(3)]
     data, nbits = encode.serialize_sequence(fmt, frames)
     assert len(data) == (nbits + 7) // 8
 
@@ -65,14 +68,19 @@ def test_serialize_parse_roundtrip(fmt, seed):
         np.testing.assert_array_equal(got.mv[mcm], orig.mv[mcm])
         np.testing.assert_array_equal(got.cbp[c], orig.cbp[c])
         np.testing.assert_array_equal(got.levels[c], orig.levels[c])
-        # effective quant: our encoder never sends MQUANT => GQUANT of the MB's GOB
-        np.testing.assert_array_equal(got.quant[c], orig.gquant[gmap[c]])
+        # effective quant: the GQUANT/MQUANT chain (helpers precompute it
+        # when MQUANT MBs were generated; otherwise it is the GOB's GQUANT)
+        if orig.quant_mb is not None:
+            np.testing.assert_array_equal(got.quant[c], orig.quant_mb[c])
+        else:
+            np.testing.assert_array_equal(got.quant[c], orig.gquant[gmap[c]])
 
 
-@pytest.mark.parametrize("fmt,seed", [(QCIF, 3), (CIF, 4)])
-def test_length_model_matches_packed_bits(fmt, seed):
+@pytest.mark.parametrize("fmt,seed,p_mquant",
+                         [(QCIF, 3, 0.0), (CIF, 4, 0.0), (QCIF, 7, 0.3)])
+def test_length_model_matches_packed_bits(fmt, seed, p_mquant):
     rng = np.random.default_rng(seed)
-    sym = random_frame_symbols(fmt, rng)
+    sym = random_frame_symbols(fmt, rng, p_mquant=p_mquant)
     sink = encode._SymSink()
     encode.serialize_frame(fmt, sym, sink)
     _, nbits = sink.pack()

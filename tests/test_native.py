@@ -25,20 +25,25 @@ def test_pack_symbols_matches():
     assert got == want
 
 
-@pytest.mark.parametrize("fmt,seed", [(QCIF, 0), (QCIF, 5), (CIF, 6)])
-def test_serialize_matches_python(fmt, seed):
+@pytest.mark.parametrize("fmt,seed,p_mquant",
+                         [(QCIF, 0, 0.0), (QCIF, 5, 0.0), (CIF, 6, 0.0),
+                          (QCIF, 8, 0.3), (CIF, 9, 0.2)])
+def test_serialize_matches_python(fmt, seed, p_mquant):
     rng = np.random.default_rng(seed)
-    frames = [random_frame_symbols(fmt, rng, tr=t) for t in range(3)]
+    frames = [random_frame_symbols(fmt, rng, tr=t, p_mquant=p_mquant)
+              for t in range(3)]
     want, wbits = encode.serialize_sequence(fmt, frames)
     got, gbits = native.serialize(fmt, frames)
     assert gbits == wbits
     assert got == want
 
 
-@pytest.mark.parametrize("fmt,seed", [(QCIF, 1), (CIF, 2)])
-def test_parse_matches_python(fmt, seed):
+@pytest.mark.parametrize("fmt,seed,p_mquant",
+                         [(QCIF, 1, 0.0), (CIF, 2, 0.0), (QCIF, 10, 0.3)])
+def test_parse_matches_python(fmt, seed, p_mquant):
     rng = np.random.default_rng(seed)
-    frames = [random_frame_symbols(fmt, rng, tr=t) for t in range(2)]
+    frames = [random_frame_symbols(fmt, rng, tr=t, p_mquant=p_mquant)
+              for t in range(2)]
     data, _ = encode.serialize_sequence(fmt, frames)
     want = parse.parse_stream(data)
     got = native.parse(data)

@@ -122,3 +122,25 @@ def test_identical_frames_mostly_skipped():
     assert f2.coded.sum() < QCIF.num_mbs // 2
     bits = np.asarray(outputs["total_bits"])
     assert bits[1] < bits[0] // 4
+
+
+def test_mquant_midgob_roundtrip():
+    # tight budget so the quantizer climbs within a GOB -> the encoder must
+    # emit MQUANT (RateConfig.mquant_segments), the length model must count
+    # it, and our decoder must reconstruct the identical planes.
+    from p64tpu.spec import luts
+    rate = RateConfig(bit_rate=64_000, frame_rate=30, mquant_segments=3)
+    cfg = encoder.EncoderConfig(fmt=QCIF, rate=rate)
+    frames = synthetic_frames(QCIF, 4)
+    data, outputs, parsed = roundtrip(cfg, frames)
+    mt = np.asarray(outputs["mtype"])
+    coded = np.asarray(outputs["coded"])
+    assert luts.MTYPE_MQUANT[mt[coded]].any(), "no MQUANT was emitted"
+    # decoder-side effective quant equals the encoder's per-MB quant on
+    # coefficient-bearing MBs (the values that matter numerically)
+    qmb = np.asarray(outputs["quant_mb"])
+    fc = np.asarray(outputs["frame_coded"])
+    qenc = qmb[fc]
+    for i, p in enumerate(parsed):
+        cc = p.coded & (p.cbp > 0)
+        np.testing.assert_array_equal(p.quant[cc], qenc[i][cc])
