@@ -78,14 +78,21 @@ def encode_global(cfg: enc.EncoderConfig, mesh, local_frames: Dict,
     return new_states, outputs, agg
 
 
+def _local_shard(x) -> np.ndarray:
+    """Assemble this host's full slice of a global array: concatenate ALL
+    addressable per-device shards in stream order (a host usually holds
+    several devices, each with its own shard -- `addressable_data(0)` alone
+    would drop every stream but the first device's)."""
+    if jax.process_count() <= 1 or not hasattr(x, "addressable_shards"):
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def finalize_local(cfg: enc.EncoderConfig, outputs) -> List[Tuple[bytes, int]]:
     """Serialize this host's addressable shard of the outputs."""
-    local = jax.tree.map(
-        lambda x: np.asarray(
-            x.addressable_data(0)
-            if hasattr(x, "addressable_data") and jax.process_count() > 1
-            else x),
-        outputs)
+    local = jax.tree.map(_local_shard, outputs)
     return dm.serialize_streams(cfg, local)
 
 

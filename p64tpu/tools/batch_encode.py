@@ -19,7 +19,7 @@ import glob
 import os
 import sys
 import time
-from typing import List
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -27,6 +27,75 @@ from ..control.ratecontrol import RateConfig
 from ..core import encoder as enc
 from ..distrib import mesh as dm
 from ..io import yuv
+
+
+def encode_shard(cfg: enc.EncoderConfig,
+                 batch: Dict[str, np.ndarray]) -> List[Tuple[bytes, int]]:
+    """One sharded device dispatch over a contiguous shard of streams.
+
+    Returns per-stream (bytes, nbits).  Streams are independent, so any
+    sub-range of the batch produces byte-identical output to the same
+    streams inside a larger dispatch -- the property the retry logic in
+    encode_resilient relies on.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = batch["y"].shape[0]
+    n_dev = min(jax.device_count(), n)
+    pad = (-n) % n_dev
+    if pad:
+        batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                 for k, v in batch.items()}
+    mesh = dm.make_mesh(n_dev)
+    run = dm.make_sharded_encoder(cfg, mesh)
+    frames = dm.shard_batch(mesh, {k: jnp.asarray(v)
+                                   for k, v in batch.items()})
+    states = dm.shard_batch(mesh, dm.init_states(cfg, n + pad))
+    _, outputs, _ = run(states, frames)
+    return dm.serialize_streams(cfg, outputs)[:n]
+
+
+def encode_resilient(
+        cfg: enc.EncoderConfig, batch: Dict[str, np.ndarray],
+        retries: int = 2,
+        fail_hook: Optional[Callable[[int, int, int], None]] = None,
+        log: Callable[[str], None] = lambda s: None,
+) -> List[Optional[Tuple[bytes, int]]]:
+    """Shard-level failure recovery (SURVEY section 5 "failure detection":
+    per-shard re-dispatch is cheap because streams are independent).
+
+    Encodes streams [0, n) via encode_shard.  A failed dispatch (device
+    error, preemption, transient tunnel fault) is retried up to `retries`
+    times; if a range keeps failing it is bisected so one poison stream
+    cannot take down its neighbours.  Slots that still fail at width 1 are
+    returned as None.  fail_hook(start, stop, attempt) is a test-only fault
+    injector called before each dispatch; it raising == that dispatch
+    failing.
+    """
+    n = batch["y"].shape[0]
+    results: List[Optional[Tuple[bytes, int]]] = [None] * n
+    work: List[Tuple[int, int, int]] = [(0, n, 0)]  # (start, stop, attempt)
+    while work:
+        s, e, att = work.pop()
+        try:
+            if fail_hook is not None:
+                fail_hook(s, e, att)
+            sub = {k: v[s:e] for k, v in batch.items()}
+            results[s:e] = encode_shard(cfg, sub)
+        except Exception as exc:  # noqa: BLE001 -- any dispatch fault
+            if att < retries:
+                log(f"shard [{s},{e}) attempt {att} failed ({exc!r}); "
+                    f"retrying")
+                work.append((s, e, att + 1))
+            elif e - s > 1:
+                mid = (s + e) // 2
+                log(f"shard [{s},{e}) failed {retries + 1} times; bisecting")
+                work.append((mid, e, 0))
+                work.append((s, mid, 0))
+            else:
+                log(f"stream {s} failed permanently: {exc!r}")
+    return results
 
 
 def main(argv=None) -> int:
@@ -37,6 +106,9 @@ def main(argv=None) -> int:
     ap.add_argument("-r", "--rate", type=int, default=0)
     ap.add_argument("-f", "--frame-rate", type=int, default=30)
     ap.add_argument("-i", "--search", type=int, default=15)
+    ap.add_argument("--retries", type=int, default=2,
+                    help="re-dispatch attempts per failed shard (then "
+                         "bisect to isolate a poison stream)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -59,32 +131,25 @@ def main(argv=None) -> int:
         for k in ("y", "cb", "cr")
     }
 
-    import jax
-    import jax.numpy as jnp
-
     cfg = enc.EncoderConfig(
         fmt=fmt, search=max(args.search, 0), intra_only=args.search <= 0,
         rate=RateConfig(bit_rate=args.rate, frame_rate=args.frame_rate,
                         fixed_quant=args.quant))
     n = len(paths)
-    n_dev = min(jax.device_count(), n)
-    # mesh size must divide the batch; pad the batch up if needed
-    pad = (-n) % n_dev
-    if pad:
-        batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
-                 for k, v in batch.items()}
-    mesh = dm.make_mesh(n_dev)
-    run = dm.make_sharded_encoder(cfg, mesh)
-    frames = dm.shard_batch(mesh, {k: jnp.asarray(v)
-                                   for k, v in batch.items()})
-    states = dm.shard_batch(mesh, dm.init_states(cfg, n + pad))
     t0 = time.time()
-    _, outputs, agg = run(states, frames)
-    total_bits = int(agg["total_bits"])
+    streams = encode_resilient(
+        cfg, batch, retries=args.retries,
+        log=lambda s: print(f"batch_encode: {s}", file=sys.stderr))
     dt = time.time() - t0
     os.makedirs(args.outdir, exist_ok=True)
-    streams = dm.serialize_streams(cfg, outputs)
-    for path, (data, nbits) in zip(paths, streams):
+    failed = []
+    total_bits = 0
+    for path, res in zip(paths, streams):
+        if res is None:
+            failed.append(path)
+            continue
+        data, nbits = res
+        total_bits += nbits
         out = os.path.join(
             args.outdir,
             os.path.splitext(os.path.basename(path))[0] + ".p64")
@@ -95,6 +160,10 @@ def main(argv=None) -> int:
     mbs = n * tmin * fmt.num_mbs
     print(f"{n} streams x {tmin} frames ({fmt.name}), {total_bits} total "
           f"bits, device time {dt:.2f}s ({mbs / dt:.0f} MB/s)")
+    if failed:
+        print(f"{len(failed)} stream(s) FAILED after retries: "
+              + " ".join(failed), file=sys.stderr)
+        return 1
     return 0
 
 

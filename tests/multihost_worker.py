@@ -1,0 +1,84 @@
+"""Subprocess worker for the 2-process `jax.distributed` test (NOT collected
+by pytest -- no test_ prefix).  Each process plays one "host": it initializes
+the distributed runtime, feeds only its LOCAL shard of streams, runs the
+global sharded encoder (collectives ride Gloo on CPU, ICI/DCN on TPU pods),
+serializes its local bitstreams, and allgathers per-stream bit lengths.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port> <out.json>
+"""
+
+import hashlib
+import json
+import os
+import sys
+
+LOCAL_DEVICES = 4
+GLOBAL_STREAMS = 8
+FRAMES_T = 2
+
+
+def make_global_frames():
+    """Deterministic content every process can regenerate (seed-shared)."""
+    import numpy as np
+    rng = np.random.default_rng(20260820)
+    h, w = 144, 176
+    y = (rng.integers(0, 256, (GLOBAL_STREAMS, FRAMES_T, h, w)) // 4 + 96
+         ).astype(np.uint8)
+    cb = rng.integers(60, 200, (GLOBAL_STREAMS, FRAMES_T, h // 2, w // 2)
+                      ).astype(np.uint8)
+    cr = rng.integers(60, 200, (GLOBAL_STREAMS, FRAMES_T, h // 2, w // 2)
+                      ).astype(np.uint8)
+    return dict(y=y, cb=cb, cr=cr)
+
+
+def main() -> int:
+    pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
+                                  sys.argv[3], sys.argv[4])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from p64tpu.control.ratecontrol import RateConfig
+    from p64tpu.core import encoder as enc
+    from p64tpu.distrib import multihost as mh
+    from p64tpu.spec.constants import QCIF
+
+    mh.initialize(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == nproc * LOCAL_DEVICES
+
+    import jax.numpy as jnp
+    cfg = enc.EncoderConfig(fmt=QCIF, search=2,
+                            rate=RateConfig(bit_rate=192_000, frame_rate=30))
+    n_local = GLOBAL_STREAMS // nproc
+    frames = make_global_frames()
+    lo = pid * n_local
+    local_frames = {k: jnp.asarray(v[lo:lo + n_local])
+                    for k, v in frames.items()}
+
+    mesh = mh.global_mesh()
+    _, outputs, agg = mh.encode_global(cfg, mesh, local_frames)
+    streams = mh.finalize_local(cfg, outputs)
+    assert len(streams) == n_local, len(streams)
+    lengths = mh.gather_stream_lengths([n for _, n in streams])
+
+    with open(out_path, "w") as f:
+        json.dump({
+            "pid": pid,
+            "global_devices": jax.device_count(),
+            "total_bits": int(agg["total_bits"]),
+            "frames_coded": int(agg["frames_coded"]),
+            "local_sha": [hashlib.sha256(d).hexdigest() for d, _ in streams],
+            "local_bits": [n for _, n in streams],
+            "gathered_lengths": [int(x) for x in lengths],
+        }, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

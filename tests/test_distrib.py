@@ -3,6 +3,7 @@
 sequential encode exactly, and aggregate psum stats must match."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -71,3 +72,92 @@ def test_sharded_bitstreams_decode():
         assert nbits == int(np.asarray(out["total_bits"])[s].sum())
         y, cb, cr, parsed = decode_stream(data)
         np.testing.assert_array_equal(y, np.asarray(out["recon_y"])[s])
+
+
+def test_shard_retry_recovers_identical_output():
+    """SURVEY section 5 failure recovery: a failed shard dispatch is retried
+    (then bisected) and the recovered outputs are byte-identical to a fault-
+    free run -- streams are independent, so re-dispatch is exact."""
+    from p64tpu.tools.batch_encode import encode_resilient, encode_shard
+
+    cfg = enc.EncoderConfig(fmt=QCIF, search=2,
+                            rate=RateConfig(fixed_quant=12))
+    n, t = 5, 2
+    frames = _frames(n, t)
+    batch = {k: np.asarray(v) for k, v in frames.items()}
+    want = encode_shard(cfg, batch)
+
+    # transient fault: the first attempt of every range fails
+    calls = []
+
+    def flaky(s, e, att):
+        calls.append((s, e, att))
+        if att == 0:
+            raise RuntimeError("injected transient device fault")
+
+    got = encode_resilient(cfg, batch, retries=2, fail_hook=flaky)
+    assert got == want
+    assert (0, n, 0) in calls and (0, n, 1) in calls
+
+    # persistent fault on wide ranges: forces bisection down to width <= 2
+    def wide_fails(s, e, att):
+        if e - s > 2:
+            raise RuntimeError("injected wide-dispatch fault")
+
+    got = encode_resilient(cfg, batch, retries=1, fail_hook=wide_fails)
+    assert got == want
+
+
+def test_shard_retry_isolates_poison_stream():
+    from p64tpu.tools.batch_encode import encode_resilient, encode_shard
+
+    cfg = enc.EncoderConfig(fmt=QCIF, search=2,
+                            rate=RateConfig(fixed_quant=12))
+    n, t = 4, 1
+    frames = _frames(n, t)
+    batch = {k: np.asarray(v) for k, v in frames.items()}
+    want = encode_shard(cfg, batch)
+
+    poison = 2
+
+    def poisoned(s, e, att):
+        if s <= poison < e:
+            raise RuntimeError("injected poison stream")
+
+    got = encode_resilient(cfg, batch, retries=1, fail_hook=poisoned)
+    assert got[poison] is None
+    for i in range(n):
+        if i != poison:
+            assert got[i] == want[i], i
+
+
+@pytest.mark.slow
+def test_sharded_production_shape():
+    """Production-shape mesh smoke (VERDICT round-1 item 9): full +/-15
+    search AND buffer-feedback rate control, sharded over the 8-device mesh,
+    must equal the sequential per-stream encode exactly."""
+    cfg = enc.EncoderConfig(
+        fmt=QCIF, search=15,
+        rate=RateConfig(bit_rate=192_000, frame_rate=30))
+    n_streams, t = 8, 2
+    frames = _frames(n_streams, t)
+    m = dm.make_mesh()
+    run = dm.make_sharded_encoder(cfg, m)
+    _, out_sh, agg = run(dm.shard_batch(m, dm.init_states(cfg, n_streams)),
+                         dm.shard_batch(m, frames))
+    for s in range(n_streams):
+        fr = {k: v[s] for k, v in frames.items()}
+        _, out_one = enc.encode_sequence_jit(cfg, fr, enc.init_state(cfg))
+        for key in ("coded", "mtype", "mv", "levels", "gquant",
+                    "total_bits"):
+            np.testing.assert_array_equal(
+                np.asarray(out_sh[key])[s], np.asarray(out_one[key]),
+                err_msg=f"stream {s} key {key}")
+    streams = dm.serialize_streams(cfg, out_sh)
+    from p64tpu.core.decoder import decode_stream
+    y, cb, cr, parsed = decode_stream(streams[0][0])
+    # rate control may legitimately skip frames; only coded ones are in the
+    # stream, in order
+    coded = np.asarray(out_sh["frame_coded"])[0].astype(bool)
+    np.testing.assert_array_equal(
+        y, np.asarray(out_sh["recon_y"])[0][coded])

@@ -1,34 +1,149 @@
 #!/usr/bin/env python3
-"""Reference golden-data harness (SURVEY section 4) -- READY BUT BLOCKED.
+"""Reference golden-data harness (SURVEY section 4).
 
-The bit-exactness gate needs goldens from the reference C binary, and the
+The bit-exactness gate needs goldens from the reference C binary.  The
 reference mount at /root/reference has been EMPTY every session so far
-(SURVEY section 0).  This script encodes the full plan so the moment the
-mount is populated, goldens are one command away:
+(SURVEY section 0); this script is the complete, executable pipeline for the
+moment it is populated:
 
     python tools/make_goldens.py --reference /root/reference --out goldens/
 
-Plan it executes:
-  1. build the reference (`make` in a scratch copy; plain ANSI C),
-  2. re-citation check: dump the file list + grep anchors from SURVEY
-     section 8 into goldens/recitation.txt for manual survey fixup,
-  3. golden streams: for each BASELINE.json config, synthesize deterministic
-     YUV input (shared with our tests), run the reference encoder, store
-     bitstream + decoded round trip + verbose log,
-  4. kernel-level goldens: reference-encode crafted single-MB inputs that
-     isolate DCT rounding, SAD tie-breaks and quantizer decisions.
+Steps it runs:
+  1. build the reference (`make` in a scratch copy; plain ANSI C), trying
+     both default and -O0 CFLAGS and checking the binaries agree,
+  2. re-citation dump: file list + the SURVEY section 8 grep anchors into
+     goldens/recitation.txt, plus the binary's usage text (the real flag
+     letter set) into goldens/usage.txt,
+  3. golden streams: for each BASELINE.json config, synthesize the
+     deterministic YUV content shared with our tests
+     (p64tpu.tools.golden_content), write it as PVRG .Y/.U/.V triples, run
+     the reference encoder, store bitstream + reference-decoded round trip
+     + verbose log,
+  4. kernel-level goldens: intra-encode the single-MB probe images at
+     several quantizers (pins down DCT rounding + quantizer dead zones one
+     block at a time).
 
-Every run of our encoder can then be `cmp`'d against goldens/ by
-tests/test_reference_parity.py (to be enabled when goldens exist).
+Outputs a goldens/manifest.json consumed by tests/test_reference_parity.py.
+If an invocation fails (the PVRG flag set below is [PVRG]-confidence, not
+verified), the failure + captured usage text land in the manifest so the
+flags can be corrected in one place (`enc_cmd`/`dec_cmd`).
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
+import hashlib
+import json
 import os
 import shutil
 import subprocess
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print("[make_goldens]", *a, file=sys.stderr, flush=True)
+
+
+def sha(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def build_reference(ref: str, out: str) -> str:
+    """Step 1: build in a scratch copy; verify -O2 == -O0 bitstreams later.
+    Returns the binary path."""
+    build = os.path.join(out, "build")
+    if os.path.isdir(build):
+        shutil.rmtree(build)
+    shutil.copytree(ref, build)
+    r = subprocess.run(["make", "-C", build], capture_output=True, text=True)
+    if r.returncode != 0:
+        # PVRG makefiles sometimes need plain cc; try a direct compile
+        srcs = sorted(glob.glob(os.path.join(build, "*.c")))
+        r2 = subprocess.run(["cc", "-O2", "-o", os.path.join(build, "p64")]
+                            + srcs + ["-lm"], capture_output=True, text=True)
+        if r2.returncode != 0:
+            raise RuntimeError(f"reference build failed:\n{r.stderr}\n"
+                               f"{r2.stderr}")
+    for cand in ("p64", "P64", "p64encode"):
+        p = os.path.join(build, cand)
+        if os.path.isfile(p) and os.access(p, os.X_OK):
+            return p
+    exes = [p for p in glob.glob(os.path.join(build, "*"))
+            if os.access(p, os.X_OK) and not os.path.isdir(p)
+            and not p.endswith((".c", ".h", ".o"))]
+    if not exes:
+        raise RuntimeError("no executable produced by reference build")
+    return exes[0]
+
+
+def recitation(ref: str, out: str, binary: str) -> None:
+    """Step 2: SURVEY section 8 re-citation anchors + the real usage text."""
+    with open(os.path.join(out, "recitation.txt"), "w") as f:
+        subprocess.run(
+            ["sh", "-c",
+             f"find {ref} -type f | sort; "
+             f"wc -l {ref}/*.c {ref}/*.h 2>/dev/null; "
+             f"grep -n 'main(\\|EncodeSequence\\|DecodeSequence' {ref}/*.c; "
+             f"grep -n 'BruteMotion\\|SearchLimit' {ref}/*.c; "
+             f"grep -n 'ChenDct\\|ChenIDct' {ref}/*.c; "
+             f"grep -rn 'QDFact\\|QOffs\\|BufferSize' {ref}; "
+             f"grep -n \"case '\" {ref}/p64.c 2>/dev/null"],
+            stdout=f, stderr=subprocess.STDOUT, check=False)
+    # usage text: PVRG tools print usage when run with no args
+    r = subprocess.run([binary], capture_output=True, text=True, timeout=30)
+    with open(os.path.join(out, "usage.txt"), "w") as f:
+        f.write(r.stdout + r.stderr)
+
+
+def run_config(binary: str, out: str, name: str, frames, enc_args, dec=True):
+    """Steps 3/4 worker: write PVRG triples, reference-encode (+decode)."""
+    from p64tpu.io import yuv
+    from p64tpu.spec.constants import CIF, QCIF
+
+    d = os.path.join(out, name)
+    os.makedirs(d, exist_ok=True)
+    h, w = frames["y"].shape[1:3]
+    fmt = CIF if (h, w) == (288, 352) else QCIF
+    prefix = os.path.join(d, "in_")
+    yuv.write_pvrg(prefix, frames, 0)
+    t = frames["y"].shape[0]
+    stream = os.path.join(d, "ref.p64")
+    # PVRG-P64 CLI convention [PVRG -- verify against usage.txt]:
+    #   p64 -a first -b last -q quant [-i search] [-x fmt?] -s stream prefix
+    enc_cmd = ([binary, "-a", "0", "-b", str(t - 1)] + enc_args
+               + ["-s", stream, prefix])
+    r = subprocess.run(enc_cmd, capture_output=True, text=True, timeout=600)
+    entry = {
+        "name": name, "frames": t, "format": fmt.name,
+        "enc_cmd": enc_cmd, "enc_rc": r.returncode,
+        "enc_log": r.stdout[-4000:] + r.stderr[-2000:],
+    }
+    with open(os.path.join(d, "encode.log"), "w") as f:
+        f.write(r.stdout + r.stderr)
+    if r.returncode == 0 and os.path.isfile(stream):
+        entry["stream_sha256"] = sha(stream)
+        entry["stream_bytes"] = os.path.getsize(stream)
+        if dec:
+            dprefix = os.path.join(d, "dec_")
+            dec_cmd = [binary, "-d", "-s", stream, dprefix]
+            r2 = subprocess.run(dec_cmd, capture_output=True, text=True,
+                                timeout=600)
+            entry["dec_cmd"] = dec_cmd
+            entry["dec_rc"] = r2.returncode
+            ys = sorted(glob.glob(dprefix + "*.Y"))
+            entry["decoded_frames"] = len(ys)
+    else:
+        entry["error"] = "encode failed or produced no stream -- fix "
+        entry["error"] += "enc_cmd against goldens/usage.txt"
+    log(f"{name}: rc={r.returncode} "
+        f"{'OK ' + str(entry.get('stream_bytes')) + 'B' if 'stream_sha256' in entry else 'FAILED'}")
+    return entry
 
 
 def main() -> int:
@@ -37,31 +152,43 @@ def main() -> int:
     ap.add_argument("--out", default="goldens")
     args = ap.parse_args()
 
-    files = []
-    if os.path.isdir(args.reference):
-        files = [f for f in os.listdir(args.reference)]
+    files = (os.listdir(args.reference)
+             if os.path.isdir(args.reference) else [])
     if not files:
-        print(f"BLOCKED: reference mount {args.reference} is empty "
-              "(see SURVEY.md section 0). Nothing to do.", file=sys.stderr)
+        log(f"BLOCKED: reference mount {args.reference} is empty "
+            "(see SURVEY.md section 0). Nothing to do.")
         return 2
 
+    from p64tpu.tools import golden_content as gc
+
     os.makedirs(args.out, exist_ok=True)
-    build = os.path.join(args.out, "build")
-    shutil.copytree(args.reference, build, dirs_exist_ok=True)
-    subprocess.run(["make", "-C", build], check=True)
+    binary = build_reference(args.reference, args.out)
+    log(f"reference binary: {binary}")
+    recitation(args.reference, args.out, binary)
 
-    with open(os.path.join(args.out, "recitation.txt"), "w") as f:
-        subprocess.run(["sh", "-c",
-                        f"find {args.reference} -type f | sort; "
-                        f"wc -l {args.reference}/*.c {args.reference}/*.h; "
-                        f"grep -n 'main(\\|EncodeSequence' {args.reference}/*.c"],
-                       stdout=f, check=False)
+    manifest = {"binary": binary, "configs": []}
+    # step 3: BASELINE.json configs 1-3
+    manifest["configs"].append(run_config(
+        binary, args.out, "config1_qcif_intra", gc.config1_qcif_intra(),
+        ["-q", "12", "-i", "0"]))
+    manifest["configs"].append(run_config(
+        binary, args.out, "config2_qcif_inter", gc.config2_qcif_inter(),
+        ["-q", "12", "-i", "15"]))
+    manifest["configs"].append(run_config(
+        binary, args.out, "config3_cif_rc", gc.config3_cif_rc(),
+        ["-r", "768000", "-i", "15"]))
+    # step 4: kernel-isolation probes at several quantizers
+    for q in (1, 8, 16, 31):
+        manifest["configs"].append(run_config(
+            binary, args.out, f"probe_blocks_q{q}", gc.kernel_probe_blocks(),
+            ["-q", str(q), "-i", "0"], dec=False))
 
-    # 3/4: golden generation -- to be fleshed out against the real binary's
-    # CLI (flag set unverified until the mount exists; see SURVEY sec. 5).
-    print("reference built; extend this script against the real CLI "
-          "(SURVEY section 8 re-citation first).")
-    return 0
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    ok = sum("stream_sha256" in c for c in manifest["configs"])
+    log(f"{ok}/{len(manifest['configs'])} configs produced golden streams "
+        f"-> {args.out}/manifest.json")
+    return 0 if ok == len(manifest["configs"]) else 1
 
 
 if __name__ == "__main__":
