@@ -52,14 +52,16 @@ def run_parity_gate() -> None:
         raise SystemExit(1)
 
 
-def main() -> int:
-    run_parity_gate()
-    streams = int(os.environ.get("P64_BENCH_STREAMS", "16"))
-    frames_t = int(os.environ.get("P64_BENCH_FRAMES", "8"))
-    reps = int(os.environ.get("P64_BENCH_REPS", "3"))
-    quant = int(os.environ.get("P64_BENCH_QUANT", "10"))
-    baseline_mbs = float(os.environ.get("P64_BASELINE_MBS", "1e4"))
+def measure(config: str = "cif", streams: int = 16, frames_t: int = 8,
+            reps: int = 3, quant: int = 10) -> dict:
+    """Time one benchmark configuration; returns a result dict.
 
+    Configs (BASELINE.md round-2 breadth, VERDICT round-1 item 10):
+      cif       -- headline: CIF, search 15, fixed quantizer
+      cif_rc    -- CIF with the per-GOB rate-control scan (BASELINE config 3)
+      cif_intra -- CIF all-intra (no ME/MC at all)
+      qcif      -- QCIF, search 15, fixed quantizer
+    """
     import jax
     import jax.numpy as jnp
 
@@ -74,14 +76,19 @@ def main() -> int:
 
     from p64tpu.control.ratecontrol import RateConfig
     from p64tpu.core import encoder as enc
-    from p64tpu.spec.constants import CIF
+    from p64tpu.spec.constants import CIF, QCIF
 
     log(f"backend={jax.default_backend()} devices={jax.device_count()} "
-        f"streams={streams} frames={frames_t} quant={quant}")
+        f"config={config} streams={streams} frames={frames_t} quant={quant}")
 
-    fmt = CIF
-    cfg = enc.EncoderConfig(fmt=fmt, search=15,
-                            rate=RateConfig(fixed_quant=quant))
+    fmt = QCIF if config == "qcif" else CIF
+    if config == "cif_rc":
+        # p*64 at p=16: 1 Mbit/s, 30 fps -> per-GOB buffer-law adaptation
+        rate = RateConfig(bit_rate=1024000)
+    else:
+        rate = RateConfig(fixed_quant=quant)
+    cfg = enc.EncoderConfig(fmt=fmt, search=15, rate=rate,
+                            intra_only=(config == "cif_intra"))
 
     # deterministic synthetic content with real motion
     rng = np.random.default_rng(0)
@@ -132,11 +139,25 @@ def main() -> int:
     n_mb = streams * frames_t * fmt.num_mbs
     mbs = n_mb / best
     log(f"total bits: {bits}, {n_mb} MBs in {best * 1e3:.1f} ms")
+    return dict(config=config, streams=streams, mbs=mbs, bits=bits,
+                ms=best * 1e3)
+
+
+def main() -> int:
+    run_parity_gate()
+    streams = int(os.environ.get("P64_BENCH_STREAMS", "16"))
+    frames_t = int(os.environ.get("P64_BENCH_FRAMES", "8"))
+    reps = int(os.environ.get("P64_BENCH_REPS", "3"))
+    quant = int(os.environ.get("P64_BENCH_QUANT", "10"))
+    config = os.environ.get("P64_BENCH_CONFIG", "cif")
+    baseline_mbs = float(os.environ.get("P64_BASELINE_MBS", "1e4"))
+
+    r = measure(config, streams, frames_t, reps, quant)
     print(json.dumps({
-        "metric": "cif_encode_macroblocks_per_sec_per_chip",
-        "value": round(mbs, 1),
+        "metric": f"{config}_encode_macroblocks_per_sec_per_chip",
+        "value": round(r["mbs"], 1),
         "unit": "MB/s",
-        "vs_baseline": round(mbs / baseline_mbs, 2),
+        "vs_baseline": round(r["mbs"] / baseline_mbs, 2),
     }))
     return 0
 

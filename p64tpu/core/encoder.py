@@ -53,11 +53,12 @@ from ..spec.tables import MTYPE_BY_NAME
 from .blocks import (
     assemble_blocks,
     assemble_mb_blocks,
+    chroma_to_blocks,
     from_gob_order,
     luma_to_mbs,
     to_gob_order,
 )
-from .predict import mc_predict
+from .predict import _apply_filter, mc_predict
 from .reconstruct import reconstruct_frame
 
 _MT = MTYPE_BY_NAME
@@ -120,26 +121,40 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     if cfg.intra_period > 0:
         force_intra |= state["frame_idx"] % cfg.intra_period == 0
 
+    # zero-MV prediction = the reference planes themselves (no MC sweep).
+    pred0_y = luma_to_mbs(state["ref_y"].astype(jnp.int32))
+    pred0_cb = chroma_to_blocks(state["ref_cb"].astype(jnp.int32))
+    pred0_cr = chroma_to_blocks(state["ref_cr"].astype(jnp.int32))
+
     if cfg.intra_only:
         intra = jnp.ones(n_mb, bool)
         use_mc = jnp.zeros(n_mb, bool)
         fil = jnp.zeros(n_mb, bool)
         mv = jnp.zeros((n_mb, 2), jnp.int32)
+        # prediction is irrelevant (every MB is intra) but must equal what
+        # the decoder computes: the zero-MV unfiltered copy.
+        pred_y, pred_cb, pred_cr = pred0_y, pred0_cb, pred0_cr
     else:
         mv_raw, best_sad, sad0 = full_search(cur_y_i, state["ref_y"],
                                              cfg.search)
-        pred0 = luma_to_mbs(state["ref_y"].astype(jnp.int32))
-        predmv, _, _ = mc_predict(state["ref_y"], state["ref_cb"],
-                                  state["ref_cr"], mv_raw,
-                                  jnp.zeros(n_mb, bool), fmt)
-        d = decide_modes(cur_mbs, pred0, predmv, sad0, best_sad, mv_raw,
+        # ONE MC select sweep per frame: the unfiltered best-MV prediction
+        # feeds the decisions, and the final prediction is derived from it
+        # by per-MB select + filter -- exactly mc_predict(mv_out, fil),
+        # because mv_out == mv_raw where use_mc and 0 elsewhere, and
+        # mc_predict at mv 0 is the reference copy (pred0).
+        pmv_y, pmv_cb, pmv_cr = mc_predict(
+            state["ref_y"], state["ref_cb"], state["ref_cr"], mv_raw,
+            None, fmt)
+        d = decide_modes(cur_mbs, pred0_y, pmv_y, sad0, best_sad, mv_raw,
                          state["refresh"], force_intra, cfg.decisions)
         intra, use_mc, fil, mv = (d["intra"], d["use_mc"], d["fil"],
                                   d["mv_out"])
+        sel = use_mc[:, None, None]
+        pred_y, pred_cb, pred_cr = _apply_filter(
+            jnp.where(sel, pmv_y, pred0_y),
+            jnp.where(sel, pmv_cb, pred0_cb),
+            jnp.where(sel, pmv_cr, pred0_cr), fil)
 
-    # final prediction (with filter) and residual -> DCT
-    pred_y, pred_cb, pred_cr = mc_predict(
-        state["ref_y"], state["ref_cb"], state["ref_cr"], mv, fil, fmt)
     cur_blocks = assemble_mb_blocks(cur_mbs, cur_cb.astype(jnp.int32),
                                     cur_cr.astype(jnp.int32))
     pred_blocks = assemble_blocks(pred_y, pred_cb, pred_cr)
@@ -269,9 +284,12 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
 
     # ---- local reconstruction (the decoder, shared code) ----
     quant_mb = from_gob_order(fmt, quant_t)
+    # the encoder's prediction equals mc_predict(mv, fil & coded) exactly:
+    # fil implies use_mc implies coded, and uncoded MBs have mv == 0.
     rec_y, rec_cb, rec_cr = reconstruct_frame(
         fmt, levels.astype(jnp.int32), quant_mb, intra & coded, mv,
-        fil & coded, state["ref_y"], state["ref_cb"], state["ref_cr"])
+        fil & coded, state["ref_y"], state["ref_cb"], state["ref_cr"],
+        pred=(pred_y, pred_cb, pred_cr))
 
     refresh = jnp.where(coded & intra, 0,
                         jnp.where(coded, state["refresh"] + 1,

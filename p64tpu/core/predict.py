@@ -38,82 +38,113 @@ def _halve_mv(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.sign(v) * (jnp.abs(v) // 2)
 
 
-def _predict_plane_select(plane: jnp.ndarray, mvx_mb: jnp.ndarray,
-                          mvy_mb: jnp.ndarray, mb_rows: int, mb_cols: int,
-                          tile: int, search: int) -> jnp.ndarray:
-    """Shift-and-select MC prediction of a whole plane (gather-free).
+def _barrel_select(acc: jnp.ndarray, off: jnp.ndarray, bits: list,
+                   tile: int, axis: int) -> jnp.ndarray:
+    """Per-MB displacement select as a log-depth barrel shifter.
 
-    TPU rationale: per-MB window gathers are ~40x slower than elementwise
-    work on v5e.  Since each component of an MB's displacement is one of
-    only (2*search+1) values, prediction is a pure SELECT over statically
-    shifted copies, separable in x and y, done per MB-row strip:
+    acc:  (nMB, rows, cols) candidate windows; the window axis `axis` has
+          width >= tile + sum(bits).
+    off:  (nMB,) displacement in [0, sum(bits)] -- constant per MB, which is
+          what makes shift composition valid (every intermediate element of
+          an MB's window is shifted by the same applied-bit prefix).
+    Returns acc narrowed to `tile` along `axis`, element j = input[j + off].
 
-      strip r (tile rows) selects, per MB column, first among the dx-shifted
-      columns, then among the dy-shifted rows.
-
-    mvx_mb / mvy_mb: (nMB,) per-MB displacement components.
-    Returns the predicted plane (H, W) int32.
+    TPU rationale: the previous formulation selected among 2*search+1
+    statically shifted copies with a sequential `where` chain -- 31 full
+    passes over the candidate buffer per axis.  Decomposing the offset into
+    its binary digits needs only ceil(log2(search*2+1)) conditional-slice
+    passes (5 for +/-15), and every slice is static so XLA fuses the whole
+    thing.  Pure integer selects: bit-exact by construction.
     """
-    h, w = plane.shape
-    side = 2 * search + 1
-    pad = jnp.pad(plane.astype(jnp.int32), search)
-    # (R, tile + 2*search, w + 2*search) overlapping row strips
-    strips = jnp.stack([
-        jax.lax.slice_in_dim(pad, r * tile, r * tile + tile + 2 * search,
-                             axis=0)
-        for r in range(mb_rows)])
+    rem = sum(bits)
+    for b in bits:
+        rem -= b
+        wnext = tile + rem
+        hi = jax.lax.slice_in_dim(acc, b, b + wnext, axis=axis)
+        lo = jax.lax.slice_in_dim(acc, 0, wnext, axis=axis)
+        shape = [1] * acc.ndim
+        shape[0] = -1
+        cond = ((off & b) != 0).reshape(shape)
+        acc = jnp.where(cond, hi, lo)
+    return acc
 
-    mvx = mvx_mb.reshape(mb_rows, mb_cols)
-    mvy = mvy_mb.reshape(mb_rows, mb_cols)
-    # per-output-column maps (R, w)
-    dx_cols = jnp.repeat(mvx, tile, axis=1)
-    dy_cols = jnp.repeat(mvy, tile, axis=1)
 
-    acc1 = jnp.zeros((mb_rows, tile + 2 * search, w), jnp.int32)
-    for dx in range(-search, search + 1):
-        cand = jax.lax.slice_in_dim(strips, dx + search,
-                                    dx + search + w, axis=2)
-        acc1 = jnp.where((dx_cols == dx)[:, None, :], cand, acc1)
+def _bits_for(maxoff: int) -> list:
+    """Largest-first powers of two whose sum covers maxoff."""
+    bits, b = [], 1 << 30
+    while b >= 1:
+        if b <= maxoff:
+            bits.append(b)
+        b >>= 1
+    return bits
 
-    acc2 = jnp.zeros((mb_rows, tile, w), jnp.int32)
-    for dy in range(-search, search + 1):
-        cand = jax.lax.slice_in_dim(acc1, dy + search,
-                                    dy + search + tile, axis=1)
-        acc2 = jnp.where((dy_cols == dy)[:, None, :], cand, acc2)
-    del side
-    return acc2.reshape(h, w)
+
+def _predict_mbs_barrel(plane: jnp.ndarray, mvx_mb: jnp.ndarray,
+                        mvy_mb: jnp.ndarray, mb_rows: int, mb_cols: int,
+                        tile: int, search: int) -> jnp.ndarray:
+    """MC prediction straight into MB-tile layout (nMB, tile, tile).
+
+    Builds per-MB candidate windows with static slices + reshapes only
+    (tile-aligned: padding the plane by `search` puts window starts exactly
+    at tile boundaries), then resolves the per-MB displacement with two
+    barrel-shift selects (rows, then columns).  Bit-exact integer selects;
+    tested against mc_predict_gather.
+    """
+    t = tile
+    bits = _bits_for(2 * search)
+    span = t + sum(bits)                     # window width the barrel needs
+    ntr = mb_rows + 2                        # row tiles after padding
+    ntc = mb_cols + 2
+    pad = jnp.pad(plane.astype(jnp.int16),
+                  ((search, ntr * t - mb_rows * t - search),
+                   (search, ntc * t - mb_cols * t - search)))
+    # row strips: window r covers padded rows [t*r, t*r + span) -- built
+    # from 3 tile-aligned static slices, no gathers.
+    rt = pad.reshape(ntr, t, ntc * t)
+    strips = jnp.concatenate([rt[0:mb_rows], rt[1:mb_rows + 1],
+                              rt[2:mb_rows + 2]], axis=1)  # (R, 3t, W)
+    ct = strips.reshape(mb_rows, 3 * t, ntc, t)
+    win = jnp.concatenate([ct[:, :, 0:mb_cols], ct[:, :, 1:mb_cols + 1],
+                           ct[:, :, 2:mb_cols + 2]],
+                          axis=-1)                     # (R, 3t, C, 3t)
+    win = win.transpose(0, 2, 1, 3).reshape(mb_rows * mb_cols, 3 * t, 3 * t)
+    assert 3 * t >= span, (t, search)
+    oy = mvy_mb + search
+    ox = mvx_mb + search
+    win = _barrel_select(win, oy, bits, t, axis=1)     # (nMB, t, 3t)
+    win = _barrel_select(win, ox, bits, t, axis=2)     # (nMB, t, t)
+    return win.astype(jnp.int32)
 
 
 def mc_predict(ref_y: jnp.ndarray, ref_cb: jnp.ndarray, ref_cr: jnp.ndarray,
                mv: jnp.ndarray, fil: jnp.ndarray, fmt: Format):
     """Build per-MB predictions from the reference frame (gather-free;
-    see _predict_plane_select for the TPU rationale).
+    see _predict_mbs_barrel for the TPU rationale).
 
     Args:
       ref_y / ref_cb / ref_cr: reference planes (H,W), (H/2,W/2), (H/2,W/2).
       mv:  (nMB, 2) int32 (mvx, mvy), raster MB order; pass zeros for
            non-MC macroblocks.
-      fil: (nMB,) bool -- apply the loop filter to this MB's prediction.
+      fil: (nMB,) bool -- apply the loop filter to this MB's prediction;
+           None skips the filter stage entirely (the encoder's decision pass
+           wants raw MC predictions and applies the filter itself later).
 
     Returns:
       (pred_y_mbs (nMB,16,16), pred_cb (nMB,8,8), pred_cr (nMB,8,8)) int32.
     """
-    from .blocks import chroma_to_blocks, luma_to_mbs
-
-    plane_y = _predict_plane_select(
+    pred_y = _predict_mbs_barrel(
         ref_y, mv[:, 0], mv[:, 1], fmt.mb_rows, fmt.mb_cols, MB_SIZE, 15)
-    pred_y = luma_to_mbs(plane_y)
 
     cmv = _halve_mv(mv)
-    plane_cb = _predict_plane_select(
+    pred_cb = _predict_mbs_barrel(
         ref_cb, cmv[:, 0], cmv[:, 1], fmt.mb_rows, fmt.mb_cols, BLOCK_SIZE,
         7)
-    plane_cr = _predict_plane_select(
+    pred_cr = _predict_mbs_barrel(
         ref_cr, cmv[:, 0], cmv[:, 1], fmt.mb_rows, fmt.mb_cols, BLOCK_SIZE,
         7)
-    pred_cb = chroma_to_blocks(plane_cb)
-    pred_cr = chroma_to_blocks(plane_cr)
 
+    if fil is None:
+        return pred_y, pred_cb, pred_cr
     return _apply_filter(pred_y, pred_cb, pred_cr, fil)
 
 

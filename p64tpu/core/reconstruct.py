@@ -36,7 +36,8 @@ def reconstruct_frame(fmt: Format,
                       fil: jnp.ndarray,
                       ref_y: jnp.ndarray,
                       ref_cb: jnp.ndarray,
-                      ref_cr: jnp.ndarray):
+                      ref_cr: jnp.ndarray,
+                      pred: tuple | None = None):
     """Reconstruct full planes.
 
     Args:
@@ -46,11 +47,19 @@ def reconstruct_frame(fmt: Format,
       mv:       (nMB, 2) (mvx, mvy); zeros for non-MC and uncoded MBs.
       fil:      (nMB,) bool loop-filter flag (False for uncoded MBs).
       ref_*:    previous reconstructed planes (uint8/int).
+      pred:     optional precomputed (pred_y, pred_cb, pred_cr) exactly equal
+                to mc_predict(ref_*, mv, fil) -- the encoder passes its
+                already-built prediction here so the (expensive) MC select
+                sweep runs once per frame instead of twice; the decoder
+                leaves it None.  Equality is guaranteed by construction in
+                core.encoder (tested: encoder recon == decoder recon).
 
     Returns:
       (y, cb, cr) uint8 planes.
     """
-    pred_y, pred_cb, pred_cr = mc_predict(ref_y, ref_cb, ref_cr, mv, fil, fmt)
+    if pred is None:
+        pred = mc_predict(ref_y, ref_cb, ref_cr, mv, fil, fmt)
+    pred_y, pred_cb, pred_cr = pred
 
     coefs = dequantize(levels, quant_mb[:, None, None].astype(jnp.int32),
                        intra_mb[:, None, None])
