@@ -99,7 +99,9 @@ def _tc_len(run: jnp.ndarray, alev: jnp.ndarray) -> jnp.ndarray:
     table is applied as a one-hot bf16 matmul (MXU) + masked select; every
     other (run, |level|) combination is the 20-bit escape and |level| == 0
     costs nothing.  Exact: one-hot entries and lengths <= 20 are
-    bf16-representable; accumulation is f32.
+    bf16-representable; accumulation is f32.  (An int8 variant A/B-measured
+    SLOWER on v5e -- 1.55 vs 1.15 ms per 16-stream step; this toolchain's
+    int8 matmul path is not faster than bf16.)
     """
     esc = (alev > _TC_LEV_MAX) | (run > _TC_RUN_MAX)
     r = jnp.clip(run, 0, _TC_RUN_MAX)

@@ -46,9 +46,22 @@ def zigzag_unscan(zz: jnp.ndarray) -> jnp.ndarray:
     return flat.reshape(*zz.shape[:-1], 8, 8)
 
 
-def _trunc_div(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """C-style integer division: truncation toward zero (dead zone)."""
-    return jnp.sign(a) * (jnp.abs(a) // b)
+#: magic multipliers for exact division by 2*QUANT on the VPU: the TPU has
+#: no hardware integer divide (XLA lowers `//` to a slow multi-op sequence),
+#: but x // d == (x * M[d]) >> 17 with M[d] = 2^17 // d + 1 EXACTLY for all
+#: x in [0, 2047], d in [1, 62] (exhaustively verified in
+#: tests/test_kernels.py::test_quantize_magic_division_domain); products
+#: stay < 2^28, int32-safe.
+_DIV_K = 17
+_DIV_MAGIC = np.zeros(63, np.int32)
+_DIV_MAGIC[1:] = (1 << _DIV_K) // np.arange(1, 63) + 1
+
+
+def _magic_for(q2: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free M[q2] lookup (one-hot select over the tiny table; q2 is
+    per-MB at most, so this is negligible next to the coefficient tensor)."""
+    oh = q2[..., None] == jnp.arange(63, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, jnp.asarray(_DIV_MAGIC), 0), axis=-1)
 
 
 def quantize(coefs: jnp.ndarray, quant: jnp.ndarray,
@@ -65,8 +78,14 @@ def quantize(coefs: jnp.ndarray, quant: jnp.ndarray,
       (..., 64) int32 zigzag-ordered levels (intra DC level in slot 0).
     """
     coefs = coefs.astype(jnp.int32)
-    q2 = (2 * quant).astype(jnp.int32)
-    ac = jnp.clip(_trunc_div(coefs, q2), -LEVEL_CLAMP, LEVEL_CLAMP)
+    q2 = (2 * jnp.asarray(quant)).astype(jnp.int32)
+    m = _magic_for(q2)
+    # trunc-toward-zero division by 2*QUANT via exact magic multiply (see
+    # _DIV_MAGIC); |coefs| <= 2047 is guaranteed by the forward DCT bound
+    # (kernels/dct.py) and is the verified domain of the trick.
+    av = jnp.abs(coefs)
+    ac = jnp.sign(coefs) * ((av * m) >> _DIV_K)
+    ac = jnp.clip(ac, -LEVEL_CLAMP, LEVEL_CLAMP)
     dc_intra = jnp.clip((coefs + 4) >> 3, 1, 254)
     dc_mask = jnp.zeros((8, 8), dtype=bool).at[0, 0].set(True)
     out = jnp.where(jnp.logical_and(intra, dc_mask), dc_intra, ac)

@@ -284,3 +284,55 @@ def test_sad_map_shifted_matches_dynamic():
         np.testing.assert_array_equal(
             np.asarray(me.sad_map_shifted(cur, ref, s)),
             np.asarray(me.sad_map(cur, ref, s)))
+
+
+def test_quantize_magic_division_domain():
+    """The VPU-friendly magic-multiply division in kernels.quant must equal
+    trunc-toward-zero division over its whole documented domain:
+    |coef| <= 2047 (forward-DCT bound), 2*QUANT in 2..62."""
+    from p64tpu.kernels.quant import _DIV_K, _DIV_MAGIC
+    x = np.arange(0, 2048, dtype=np.int64)
+    d = np.arange(1, 63, dtype=np.int64)
+    got = (x[:, None] * _DIV_MAGIC[d][None, :].astype(np.int64)) >> _DIV_K
+    np.testing.assert_array_equal(got, x[:, None] // d[None, :])
+
+
+def test_quantize_matches_plain_division():
+    from p64tpu.kernels.quant import quantize
+    rng = np.random.default_rng(11)
+    coefs = rng.integers(-2047, 2048, (64, 8, 8))
+    for q in (1, 2, 7, 16, 31):
+        lv = np.asarray(quantize(jnp.asarray(coefs), jnp.int32(q),
+                                 jnp.asarray(False)))
+        want = np.sign(coefs) * (np.abs(coefs) // (2 * q))
+        want = np.clip(want, -127, 127)
+        from p64tpu.kernels.quant import zigzag_scan
+        want_zz = np.asarray(zigzag_scan(jnp.asarray(want)))
+        np.testing.assert_array_equal(lv, want_zz)
+
+
+def test_fdct_mxu_formulation_matches_int32():
+    """The TPU MXU bf16-split fdct must equal the int32 einsum path exactly
+    over the input domain (residuals/pixels in [-255, 255]), including
+    max-amplitude checkerboard corners."""
+    from p64tpu.kernels import dct as d
+    rng = np.random.default_rng(5)
+    blocks = rng.integers(-255, 256, (2000, 8, 8)).astype(np.int32)
+    corners = []
+    for pat in range(8):
+        b = np.full((8, 8), 255, np.int32)
+        if pat & 1:
+            b[::2] *= -1
+        if pat & 2:
+            b[:, ::2] *= -1
+        if pat & 4:
+            b = -b
+        corners.append(b)
+    blocks = np.concatenate([blocks, np.stack(corners)])
+    mi = jnp.asarray(d.MI, dtype=jnp.int32)
+    t = d.rshift_round(jnp.einsum("ux,...xy->...uy", mi,
+                                  jnp.asarray(blocks)), d.FWD_SHIFT1)
+    want = np.asarray(d.rshift_round(jnp.einsum("...uy,vy->...uv", t, mi),
+                                     d.FWD_SHIFT2))
+    got = np.asarray(d._fdct8x8_mxu(jnp.asarray(blocks)))
+    np.testing.assert_array_equal(got, want)

@@ -69,3 +69,16 @@ def test_sad_map_vmap():
         c, r, s, interpret=True))(cur, ref)
     want = jax.vmap(lambda c, r: me.sad_map(c, r, s))(cur, ref)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("h,w,s", [(48, 64, 4), (144, 176, 7)])
+def test_sad_map_i8_parity(h, w, s):
+    """int8-MXU column-pool variant (hardware-verified exact on v5e; kept
+    as an A/B alternative -- measured slower than the bf16 kernel there:
+    7.0 vs 4.5 ms per 16-stream CIF sweep, so not dispatched)."""
+    cur = jnp.asarray(RNG.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.asarray(RNG.integers(0, 256, (h, w)), jnp.int32)
+    want = np.asarray(me.sad_map(cur, ref, s))
+    got = np.asarray(me_pallas.sad_map_pallas_i8(cur, ref, s,
+                                                 interpret=True))
+    np.testing.assert_array_equal(got, want)
