@@ -54,6 +54,13 @@ class RateConfig:
     #: the first intra frame is not coded at QUANT=1 and does not blow the
     #: budget; RM8-style warm start, calibration-pending)
     initial_quant: int = 8
+    #: minimum-rate fill: when a coded frame leaves the virtual buffer in
+    #: deficit (content cheaper than the per-frame budget), pad the frame
+    #: with MBA stuffing codes (11 bits each, H.261 Table 1) until the
+    #: buffer is non-negative.  H.261 encoders must be able to pad against
+    #: buffer underflow (SURVEY section 2 huffman.c row); granularity
+    #: (frame-end, 11-bit quantum) is ours, calibration-pending.
+    min_rate_fill: bool = True
 
     def initial_buffer(self) -> int:
         if not self.enabled:
@@ -85,6 +92,29 @@ def gob_quant(cfg: RateConfig, buffer_bits: jnp.ndarray) -> jnp.ndarray:
         return jnp.int32(q) + buffer_bits.astype(jnp.int32) * 0
     q = buffer_bits // jnp.int32(cfg.qdfact) + jnp.int32(cfg.qoffs)
     return jnp.clip(q, QUANT_MIN, QUANT_MAX).astype(jnp.int32)
+
+
+#: bits per MBA stuffing code (H.261 Table 1: '00000001111')
+STUFF_BITS = 11
+
+
+def stuff_count(cfg: RateConfig, buffer_bits: jnp.ndarray,
+                picture_header_bits: int) -> jnp.ndarray:
+    """Number of MBA stuffing codes needed at the end of this coded frame
+    so the post-drain buffer is non-negative (minimum-rate fill).
+
+    buffer_bits: the virtual buffer *including* this frame's GOB bits but
+    before the per-frame drain (same value drain_after_frame receives).
+    Returns an int32 scalar >= 0; always 0 when fill is disabled.
+    """
+    if not (cfg.enabled and cfg.min_rate_fill):
+        # data-dependent zero: varying-type parity under shard_map (see
+        # gob_quant for the same pattern)
+        return buffer_bits.astype(jnp.int32) * 0
+    b = (buffer_bits + jnp.int32(picture_header_bits)
+         - jnp.int32(cfg.target_bits_per_frame))
+    deficit = jnp.maximum(-b, 0)
+    return ((deficit + STUFF_BITS - 1) // STUFF_BITS).astype(jnp.int32)
 
 
 def drain_after_frame(cfg: RateConfig, buffer_bits: jnp.ndarray,

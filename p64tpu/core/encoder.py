@@ -33,11 +33,13 @@ import numpy as np
 
 from ..control.decisions import DecisionConfig, decide_modes
 from ..control.ratecontrol import (
+    STUFF_BITS,
     RateConfig,
     drain_after_frame,
     drain_skipped,
     gob_quant,
     should_skip,
+    stuff_count,
 )
 from ..entropy import lengths
 from ..entropy.encode import FrameSymbols
@@ -72,6 +74,15 @@ class EncoderConfig:
     decisions: DecisionConfig = DecisionConfig()
     intra_only: bool = False     # no ME / no inter path at all
     intra_period: int = 0        # >0: force an all-intra frame every N
+
+    def __post_init__(self):
+        # H.261 caps MVs at +/-15, and the MC barrel select decomposes the
+        # per-MB offset over sum(bits)=2*15; a larger range would silently
+        # produce wrong predictions (round-2 advisor finding).
+        if not 0 <= self.search <= DEFAULT_SEARCH_RANGE:
+            raise ValueError(
+                f"search must be 0..{DEFAULT_SEARCH_RANGE} (H.261 MV range);"
+                f" got {self.search}")
 
 
 def init_state(cfg: EncoderConfig) -> Dict[str, jnp.ndarray]:
@@ -280,7 +291,14 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     cbp = untp(cbp_t)
     mtype = untp(mtype_t)
     coded = untp(coded_t)
-    total_bits = gob_bits.sum() + lengths.PICTURE_HEADER_BITS
+    # minimum-rate fill: MBA stuffing at the end of the frame's last GOB
+    # holds the virtual buffer at >= 0 (H.261 Table 1; serializer emits
+    # n_stuff 11-bit codes after the last GOB's macroblocks).
+    n_stuff = stuff_count(cfg.rate, buffer_after,
+                          lengths.PICTURE_HEADER_BITS)
+    buffer_after = buffer_after + STUFF_BITS * n_stuff
+    total_bits = (gob_bits.sum() + lengths.PICTURE_HEADER_BITS
+                  + STUFF_BITS * n_stuff)
 
     # ---- local reconstruction (the decoder, shared code) ----
     quant_mb = from_gob_order(fmt, quant_t)
@@ -313,6 +331,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         coded=coded.astype(bool), mtype=mtype.astype(jnp.int32),
         mv=mv.astype(jnp.int32), cbp=cbp.astype(jnp.int32), levels=levels,
         total_bits=total_bits.astype(jnp.int32),
+        n_stuff=n_stuff.astype(jnp.int32),
         sse_y=sse_y,
         recon_y=rec_y, recon_cb=rec_cb, recon_cr=rec_cr,
     )
@@ -346,6 +365,7 @@ def _skip_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         mv=zeros((n_mb, 2), jnp.int32), cbp=zeros(n_mb, jnp.int32),
         levels=zeros((n_mb, 6, 64), jnp.int16),
         total_bits=tok,
+        n_stuff=tok,
         sse_y=jnp.sum((state["ref_y"].astype(jnp.float32)
                        - cur_y.astype(jnp.float32)) ** 2),
         recon_y=state["ref_y"], recon_cb=state["ref_cb"],
@@ -408,7 +428,8 @@ def outputs_to_symbols(cfg: EncoderConfig, outputs) -> List[FrameSymbols]:
             tr=int(host["tr"][i]), gquant=host["gquant"][i],
             coded=host["coded"][i], mtype=host["mtype"][i],
             mv=host["mv"][i], cbp=host["cbp"][i],
-            levels=host["levels"][i], quant_mb=host["quant_mb"][i]))
+            levels=host["levels"][i], quant_mb=host["quant_mb"][i],
+            n_stuff=int(host["n_stuff"][i])))
     return syms
 
 

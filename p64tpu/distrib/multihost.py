@@ -87,6 +87,16 @@ def _local_shard(x) -> np.ndarray:
         return np.asarray(x)
     shards = sorted(x.addressable_shards,
                     key=lambda s: s.index[0].start or 0)
+    # A replicated array would present one identical full-range shard per
+    # local device; blind concatenation would duplicate every stream.  Only
+    # axis-0-partitioned (disjoint, contiguous) arrays belong here.
+    starts = [s.index[0].start or 0 for s in shards]
+    stops = [s.index[0].stop if s.index[0].stop is not None
+             else np.asarray(s.data).shape[0] for s in shards]
+    if len(set(starts)) != len(starts):   # replicated: all shards identical
+        return np.asarray(shards[0].data)
+    assert all(stops[i] <= starts[i + 1] for i in range(len(starts) - 1)), \
+        f"_local_shard expects disjoint axis-0 shards, got {list(zip(starts, stops))}"
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

@@ -57,6 +57,10 @@ class FrameSymbols:
       quant_mb: (nMB,) int, effective quantizer per MB -- its value is
                written as the 5-bit MQUANT field wherever mtype is an
                MQUANT variant.  May be None when no MB uses MQUANT.
+      n_stuff: number of MBA stuffing codes (11 bits each) appended after
+               the last GOB's macroblocks (minimum-rate fill; H.261
+               Table 1 allows stuffing before any MBA, any number of
+               times).
     """
 
     tr: int
@@ -67,6 +71,7 @@ class FrameSymbols:
     cbp: np.ndarray
     levels: np.ndarray
     quant_mb: Optional[np.ndarray] = None
+    n_stuff: int = 0
 
 
 def wrap_mvd(mv: int, pred: int) -> int:
@@ -194,6 +199,12 @@ def serialize_frame(fmt: Format, sym: FrameSymbols, sink: _SymSink) -> None:
                 if blockmask[b]:
                     _put_block(sink, sym.levels[raster, b], intra)
             prev_idx = idx
+
+    # minimum-rate fill: stuffing codes trail the last GOB's macroblocks
+    # (legal before any MBA; decoders discard them while scanning for the
+    # next start code)
+    for _ in range(int(sym.n_stuff)):
+        sink.put(luts.MBA_STUFFING_CODE, luts.MBA_STUFFING_LEN)
 
 
 def serialize_sequence_py(fmt: Format,

@@ -131,84 +131,6 @@ def sad_map_pallas(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     return jnp.where(valid, sads, big)
 
 
-def _sad_kernel_aligned(cur_ref, sh8_ref, pr_ref, pc_ref, out_ref, *,
-                        h, w, search):
-    """Relayout-free variant: sh8 block is (1, 8, Hq, w) -- 8 row-phase
-    copies of this program's dx-shift -- so every row slice below has a
-    STATIC, 8-ALIGNED sublane offset (8*q) and Mosaic inserts no vector
-    relayouts on the loads."""
-    side = 2 * search + 1
-    cur = cur_ref[...].astype(jnp.float32)
-    pr = pr_ref[...]
-    pc = pc_ref[...]
-    for r in range(8):
-        for q in range((side + 7) // 8):
-            dy = 8 * q + r
-            if dy >= side:
-                continue
-            win = sh8_ref[0, r, 8 * q:8 * q + h, :].astype(jnp.float32)
-            ad = jnp.abs(cur - win)
-            part = jax.lax.dot(ad, pc, preferred_element_type=jnp.float32)
-            # HIGHEST: see _sad_kernel_bf16 (part values up to 4080).
-            sums = jax.lax.dot(pr, part,
-                               precision=jax.lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32)
-            out_ref[0, dy] = sums
-
-
-@functools.partial(jax.jit, static_argnames=("search", "interpret"))
-def sad_map_pallas_aligned(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
-                           search: int = DEFAULT_SEARCH_RANGE,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Same contract as sad_map_pallas; aligned 8-phase input layout."""
-    h, w = cur_y.shape
-    mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
-    n_mb = mb_rows * mb_cols
-    side = 2 * search + 1
-    nq = (side + 7) // 8
-    hq = 8 * (nq - 1) + h          # rows needed per phase copy
-
-    cur = cur_y.astype(jnp.int32)
-    # pad rows enough for phase r=7: r + hq <= h + 2*search + extra
-    extra = (7 + hq) - (h + 2 * search)
-    ref_pad = jnp.pad(ref_y.astype(jnp.int32),
-                      ((search, search + max(extra, 0)), (search, search)))
-    shifted = jnp.stack([ref_pad[:, dx:dx + w] for dx in range(side)])
-    # (side, 8, hq, w): row-phase copies (static slices)
-    sh8 = jnp.stack([shifted[:, r:r + hq, :] for r in range(8)], axis=1)
-    pr, pc = _pool_matrices(h, w)
-
-    out = pl.pallas_call(
-        functools.partial(_sad_kernel_aligned, h=h, w=w, search=search),
-        grid=(side,),
-        in_specs=[
-            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, hq, w), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mb_rows, h), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, mb_cols), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, side, mb_rows, mb_cols),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((side, side, mb_rows, mb_cols),
-                                       jnp.float32),
-        interpret=interpret,
-    )(cur, sh8, jnp.asarray(pr), jnp.asarray(pc))
-
-    sads = jnp.swapaxes(out, 0, 1).reshape(side * side, n_mb)
-    sads = sads.astype(jnp.int32)
-    y0 = (jnp.arange(n_mb, dtype=jnp.int32) // mb_cols) * MB_SIZE
-    x0 = (jnp.arange(n_mb, dtype=jnp.int32) % mb_cols) * MB_SIZE
-    offs = jnp.asarray(offset_table(search))
-    oy, ox = offs[:, 0:1], offs[:, 1:2]
-    valid = ((y0[None, :] + oy >= 0) & (y0[None, :] + oy + MB_SIZE <= h)
-             & (x0[None, :] + ox >= 0) & (x0[None, :] + ox + MB_SIZE <= w))
-    return jnp.where(valid, sads, jnp.int32(1 << 30))
-
-
 def _sad_kernel_bf16(cur_ref, shifted_ref, pr_ref, pc_ref, out_ref, *,
                      h, w, search):
     """bf16 variant of _sad_kernel: the MXU runs bf16 x bf16 -> f32 at full

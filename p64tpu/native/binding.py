@@ -139,18 +139,20 @@ class NativeBitIO:
         quant_mb = np.ascontiguousarray(np.stack(
             [f.quant_mb if f.quant_mb is not None
              else np.zeros(n_mb, np.int32) for f in frames]), np.int32)
+        n_stuff = np.ascontiguousarray([f.n_stuff for f in frames], np.int32)
         perm = transmission_order(fmt).astype(np.int32)
         gn = np.ascontiguousarray(fmt.gob_numbers, np.int32)
         # capacity: worst case ~ every coefficient escapes; generous bound
-        cap = int(n) * (64 + n_gob * 40 + int(coded.sum(axis=None)) * 0 +
-                        n_mb * (40 + 6 * (64 * 20 + 10))) // 8 + 1024
+        cap = (int(n) * (64 + n_gob * 40 + int(coded.sum(axis=None)) * 0 +
+                         n_mb * (40 + 6 * (64 * 20 + 10))) // 8
+               + int(n_stuff.sum()) * 11 // 8 + 1024)
         out = np.zeros(cap, np.uint8)
         bits = self._lib.p64_serialize(
             C.byref(self._enc_t), C.c_int64(n), C.c_int32(n_mb),
             C.c_int32(n_gob), _ptr(gn), _ptr(perm),
             C.c_int32(ptype_value(fmt.is_cif)), _ptr(tr), _ptr(gq),
             _ptr(coded), _ptr(mtype), _ptr(mv), _ptr(cbp), _ptr(levels),
-            _ptr(quant_mb), _ptr(out), C.c_int64(cap))
+            _ptr(quant_mb), _ptr(n_stuff), _ptr(out), C.c_int64(cap))
         if bits < 0:
             raise RuntimeError("serialize overflow")
         return out[: (bits + 7) // 8].tobytes(), int(bits)
@@ -211,7 +213,9 @@ def load() -> Optional[NativeBitIO]:
     if _cached is not None or _tried:
         return _cached
     _tried = True
-    if not os.path.exists(_SO) and not _build():
+    # always invoke make: it is timestamp-based and near-free when current,
+    # and it prevents running a stale .so after an ABI change to bitio.cpp
+    if not _build():
         return None
     try:
         _cached = NativeBitIO(C.CDLL(_SO))

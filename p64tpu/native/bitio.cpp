@@ -131,6 +131,7 @@ int64_t p64_serialize(
     const int32_t* cbp,              // [n_frames*n_mb]
     const int16_t* levels,           // [n_frames*n_mb*6*64]
     const int32_t* quant_mb,         // [n_frames*n_mb] (5-bit MQUANT values)
+    const int32_t* n_stuff,          // [n_frames] trailing MBA stuffing codes
     uint8_t* out, int64_t out_cap_bytes) {
   BitWriter w{out, out_cap_bytes * 8, 0, 0};
   std::memset(out, 0, (size_t)out_cap_bytes);
@@ -199,6 +200,9 @@ int64_t p64_serialize(
         prev_idx = idx;
       }
     }
+    // minimum-rate fill: MBA stuffing ('00000001111', H.261 Table 1)
+    // trailing the last GOB's macroblocks; decoders discard it.
+    for (int32_t k = 0; k < n_stuff[f]; ++k) bw_put(&w, 0xFu, 11);
     if (w.overflow) return -1;
   }
   return w.overflow ? -1 : w.pos;

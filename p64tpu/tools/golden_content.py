@@ -95,6 +95,42 @@ def kernel_probe_blocks() -> Dict[str, np.ndarray]:
     return _chroma(np.stack(blocks).astype(np.uint8))
 
 
+def adversarial_sequences() -> Dict[str, np.ndarray]:
+    """Dict of name -> (T, H, W) uint8 luma sequences (QCIF) designed to
+    surface SAD near-ties and threshold-edge decisions.  Shared by the
+    hardware parity gate (tools/tpu_parity.py) and the pinned-golden
+    regression test so they can never drift apart."""
+    h, w, t = 144, 176, 5
+    rng = np.random.default_rng(20260819)
+    seqs = {}
+    seqs["noise"] = rng.integers(0, 256, (t, h, w)).astype(np.uint8)
+    # scene cut at frame 2
+    a = rng.integers(0, 256, (h, w))
+    b = rng.integers(0, 256, (h, w))
+    seqs["scenecut"] = np.stack([a, a, b, b, b]).astype(np.uint8)
+    # periodic texture: every 8-pel shift is an exact SAD tie
+    yy, xx = np.mgrid[0:h, 0:w]
+    per = ((xx % 8 < 4) ^ (yy % 8 < 4)).astype(np.uint8) * 180 + 40
+    seqs["periodic"] = np.stack(
+        [np.roll(per, i, axis=1) for i in range(t)]).astype(np.uint8)
+    # smooth gradient + moving square + mild noise (near-threshold deltas)
+    frames = []
+    base = (16 + (xx * 3 + yy * 2) // 8) % 220
+    for i in range(t):
+        f = base.copy()
+        f[(30 + 3 * i):(30 + 3 * i) + 32, (20 + 5 * i):(20 + 5 * i) + 32] += 40
+        f = f + rng.integers(0, 3, (h, w))
+        frames.append(np.clip(f, 0, 255))
+    seqs["smooth"] = np.stack(frames).astype(np.uint8)
+    return seqs
+
+
+def luma_to_frames(y: np.ndarray) -> Dict[str, np.ndarray]:
+    """Derive the standard deterministic chroma for a luma sequence (the
+    same formula tpu_parity has always used)."""
+    return _chroma(y)
+
+
 ALL = {
     "config1_qcif_intra": config1_qcif_intra,
     "config2_qcif_inter": config2_qcif_inter,

@@ -22,6 +22,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the pinned-golden test compiles a full CIF
+# rate-controlled scan (~2.5 min cold on CPU); cache hits make suite
+# re-runs cheap.  Correctness-neutral (caches compiled artifacts only).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("P64_JAX_CACHE", "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_sessionstart(session):

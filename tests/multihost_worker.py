@@ -14,7 +14,11 @@ import sys
 
 LOCAL_DEVICES = 4
 GLOBAL_STREAMS = 8
-FRAMES_T = 2
+FRAMES_T = 3
+# production config (round-2 verdict weak #5: the 2-process path used to run
+# search=2): full +/-15 search + rate control, same as the single-process
+# 8-device mesh test
+SEARCH = 15
 
 
 def make_global_frames():
@@ -39,6 +43,9 @@ def main() -> int:
         f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("P64_JAX_CACHE", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
@@ -53,7 +60,7 @@ def main() -> int:
     assert jax.device_count() == nproc * LOCAL_DEVICES
 
     import jax.numpy as jnp
-    cfg = enc.EncoderConfig(fmt=QCIF, search=2,
+    cfg = enc.EncoderConfig(fmt=QCIF, search=SEARCH,
                             rate=RateConfig(bit_rate=192_000, frame_rate=30))
     n_local = GLOBAL_STREAMS // nproc
     frames = make_global_frames()

@@ -150,3 +150,48 @@ def test_tr_wraps_mod_32():
     state["frame_idx"] = jnp.int32(31)
     _, out = enc.encode_sequence_jit(cfg, frames, state)
     assert np.asarray(out["tr"]).tolist() == [31, 0, 1]
+
+
+def test_min_rate_fill_emits_stuffing():
+    """Low-bitrate floor: static content far cheaper than the budget must be
+    padded with MBA stuffing (11-bit codes, H.261 Table 1) so the virtual
+    buffer never goes negative; the stream must stay fully decodable and the
+    device length model must match the serializer exactly (asserted inside
+    encode_to_bytes)."""
+    from p64tpu.core.decoder import decode_stream
+
+    t = 4
+    y = np.full((t, 144, 176), 128, np.uint8)   # static: near-zero bits
+    frames = dict(y=jnp.asarray(y),
+                  cb=jnp.asarray(np.full((t, 72, 88), 90, np.uint8)),
+                  cr=jnp.asarray(np.full((t, 72, 88), 170, np.uint8)))
+    # 512 kbit/s for a static QCIF scene: huge per-frame deficit
+    cfg = enc.EncoderConfig(fmt=QCIF,
+                            rate=RateConfig(bit_rate=512_000, frame_rate=30))
+    data, outputs, state = enc.encode_to_bytes(cfg, frames)
+    n_stuff = np.asarray(outputs["n_stuff"])
+    assert (n_stuff > 0).any(), "expected stuffing on static content"
+    # every coded frame ends with a non-negative buffer and the total size
+    # meets the per-frame floor
+    # buffer invariant: init_buffer + total_bits - t*target >= 0, i.e. the
+    # stream meets the minimum rate net of the warm-start credit
+    target = cfg.rate.target_bits_per_frame
+    total_bits = int(np.asarray(outputs["total_bits"]).sum())
+    assert total_bits >= target * t - cfg.rate.initial_buffer()
+    # round-trip: decoder reproduces the encoder's reconstruction
+    dy, _, _, parsed = decode_stream(data)
+    assert len(parsed) == t
+    np.testing.assert_array_equal(dy[-1], np.asarray(state["ref_y"]))
+
+
+def test_min_rate_fill_off_by_config():
+    t = 2
+    y = np.full((t, 144, 176), 128, np.uint8)
+    frames = dict(y=jnp.asarray(y),
+                  cb=jnp.asarray(np.full((t, 72, 88), 90, np.uint8)),
+                  cr=jnp.asarray(np.full((t, 72, 88), 170, np.uint8)))
+    cfg = enc.EncoderConfig(
+        fmt=QCIF, rate=RateConfig(bit_rate=512_000, frame_rate=30,
+                                  min_rate_fill=False))
+    _, outputs, _ = enc.encode_to_bytes(cfg, frames)
+    assert (np.asarray(outputs["n_stuff"]) == 0).all()

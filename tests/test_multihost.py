@@ -73,13 +73,13 @@ def test_two_process_distributed_encode(tmp_path):
 
     # ground truth: the same 8 streams encoded in THIS process (8 virtual
     # devices, single host) must give byte-identical per-stream bitstreams
-    from multihost_worker import make_global_frames
+    from multihost_worker import SEARCH, make_global_frames
     from p64tpu.control.ratecontrol import RateConfig
     from p64tpu.core import encoder as enc
     from p64tpu.spec.constants import QCIF
     from p64tpu.tools.batch_encode import encode_shard
 
-    cfg = enc.EncoderConfig(fmt=QCIF, search=2,
+    cfg = enc.EncoderConfig(fmt=QCIF, search=SEARCH,
                             rate=RateConfig(bit_rate=192_000, frame_rate=30))
     batch = {k: np.asarray(v) for k, v in make_global_frames().items()}
     want = encode_shard(cfg, batch)

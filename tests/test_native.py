@@ -56,6 +56,28 @@ def test_parse_matches_python(fmt, seed, p_mquant):
                                           getattr(b, field), err_msg=field)
 
 
+def test_serialize_stuffing_matches_python():
+    """n_stuff > 0 (minimum-rate fill) must serialize identically in C++
+    and Python, and both parsers must discard the stuffing."""
+    rng = np.random.default_rng(21)
+    frames = [random_frame_symbols(QCIF, rng, tr=t) for t in range(3)]
+    for i, f in enumerate(frames):
+        f.n_stuff = [0, 5, 117][i]
+    want, wbits = encode.serialize_sequence_py(QCIF, frames)
+    got, gbits = native.serialize(QCIF, frames)
+    assert gbits == wbits == sum(
+        11 * f.n_stuff for f in frames) + encode.serialize_sequence_py(
+            QCIF, [encode.FrameSymbols(**{**f.__dict__, "n_stuff": 0})
+                   for f in frames])[1]
+    assert got == want
+    a = parse.parse_stream(want)
+    b = native.parse(got)
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.coded, y.coded)
+        np.testing.assert_array_equal(x.levels, y.levels)
+
+
 def test_parse_rejects_garbage():
     with pytest.raises(parse.StreamError):
         native.parse(b"\xff\xff\xff\xff")

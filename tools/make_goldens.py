@@ -54,18 +54,21 @@ def sha(path: str) -> str:
         return hashlib.sha256(f.read()).hexdigest()
 
 
-def build_reference(ref: str, out: str) -> str:
-    """Step 1: build in a scratch copy; verify -O2 == -O0 bitstreams later.
+def _build_one(ref: str, out: str, tag: str, cflags: str) -> str:
+    """Build the reference once in a scratch copy with the given CFLAGS.
     Returns the binary path."""
-    build = os.path.join(out, "build")
+    build = os.path.join(out, f"build-{tag}")
     if os.path.isdir(build):
         shutil.rmtree(build)
     shutil.copytree(ref, build)
-    r = subprocess.run(["make", "-C", build], capture_output=True, text=True)
+    env = dict(os.environ, CFLAGS=cflags)
+    r = subprocess.run(["make", "-C", build], capture_output=True, text=True,
+                       env=env)
     if r.returncode != 0:
         # PVRG makefiles sometimes need plain cc; try a direct compile
         srcs = sorted(glob.glob(os.path.join(build, "*.c")))
-        r2 = subprocess.run(["cc", "-O2", "-o", os.path.join(build, "p64")]
+        r2 = subprocess.run(["cc"] + cflags.split()
+                            + ["-o", os.path.join(build, "p64")]
                             + srcs + ["-lm"], capture_output=True, text=True)
         if r2.returncode != 0:
             raise RuntimeError(f"reference build failed:\n{r.stderr}\n"
@@ -82,6 +85,18 @@ def build_reference(ref: str, out: str) -> str:
     return exes[0]
 
 
+def build_reference(ref: str, out: str) -> str:
+    """Step 1: build at -O2 AND -O0 (both retained; configs.json records an
+    O2-vs-O0 bitstream comparison per config -- integer code must agree).
+    Returns the -O2 binary path; the -O0 one sits next to it in build-O0/."""
+    b_o2 = _build_one(ref, out, "O2", "-O2")
+    try:
+        _build_one(ref, out, "O0", "-O0")
+    except RuntimeError as e:
+        log(f"warning: -O0 build failed ({e}); O2-vs-O0 check unavailable")
+    return b_o2
+
+
 def recitation(ref: str, out: str, binary: str) -> None:
     """Step 2: SURVEY section 8 re-citation anchors + the real usage text."""
     with open(os.path.join(out, "recitation.txt"), "w") as f:
@@ -95,14 +110,26 @@ def recitation(ref: str, out: str, binary: str) -> None:
              f"grep -rn 'QDFact\\|QOffs\\|BufferSize' {ref}; "
              f"grep -n \"case '\" {ref}/p64.c 2>/dev/null"],
             stdout=f, stderr=subprocess.STDOUT, check=False)
-    # usage text: PVRG tools print usage when run with no args
-    r = subprocess.run([binary], capture_output=True, text=True, timeout=30)
+    # usage text: PVRG tools print usage when run with no args.  DEVNULL
+    # stdin + a caught timeout so a binary that blocks on stdin cannot kill
+    # the whole golden run after a successful build (round-2 advisor).
+    try:
+        r = subprocess.run([binary], capture_output=True, text=True,
+                           timeout=30, stdin=subprocess.DEVNULL)
+        usage = r.stdout + r.stderr
+    except subprocess.TimeoutExpired as e:
+        usage = ((e.stdout or b"").decode("utf-8", "replace")
+                 + (e.stderr or b"").decode("utf-8", "replace")
+                 + "\n[make_goldens] usage probe timed out after 30s\n")
     with open(os.path.join(out, "usage.txt"), "w") as f:
-        f.write(r.stdout + r.stderr)
+        f.write(usage)
 
 
-def run_config(binary: str, out: str, name: str, frames, enc_args, dec=True):
-    """Steps 3/4 worker: write PVRG triples, reference-encode (+decode)."""
+def run_config(binary: str, out: str, name: str, frames, enc_args, dec=True,
+               binary_o0: str = None):
+    """Steps 3/4 worker: write PVRG triples, reference-encode (+decode).
+    If binary_o0 is given, re-encode with it and record whether the -O0
+    bitstream is byte-identical to the -O2 one (integer code must agree)."""
     from p64tpu.io import yuv
     from p64tpu.spec.constants import CIF, QCIF
 
@@ -129,6 +156,17 @@ def run_config(binary: str, out: str, name: str, frames, enc_args, dec=True):
     if r.returncode == 0 and os.path.isfile(stream):
         entry["stream_sha256"] = sha(stream)
         entry["stream_bytes"] = os.path.getsize(stream)
+        if binary_o0:
+            s0 = os.path.join(d, "ref_O0.p64")
+            cmd0 = [binary_o0 if a == binary else
+                    (s0 if a == stream else a) for a in enc_cmd]
+            r0 = subprocess.run(cmd0, capture_output=True, text=True,
+                                timeout=600)
+            entry["o0_matches"] = (r0.returncode == 0
+                                   and os.path.isfile(s0)
+                                   and sha(s0) == entry["stream_sha256"])
+            if not entry["o0_matches"]:
+                log(f"{name}: WARNING -O0 bitstream differs from -O2")
         if dec:
             dprefix = os.path.join(d, "dec_")
             dec_cmd = [binary, "-d", "-s", stream, dprefix]
@@ -164,19 +202,21 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     binary = build_reference(args.reference, args.out)
     log(f"reference binary: {binary}")
+    b_o0 = binary.replace("build-O2", "build-O0")
+    b_o0 = b_o0 if (b_o0 != binary and os.path.isfile(b_o0)) else None
     recitation(args.reference, args.out, binary)
 
-    manifest = {"binary": binary, "configs": []}
-    # step 3: BASELINE.json configs 1-3
+    manifest = {"binary": binary, "binary_o0": b_o0, "configs": []}
+    # step 3: BASELINE.json configs 1-3 (each also O2-vs-O0 cross-checked)
     manifest["configs"].append(run_config(
         binary, args.out, "config1_qcif_intra", gc.config1_qcif_intra(),
-        ["-q", "12", "-i", "0"]))
+        ["-q", "12", "-i", "0"], binary_o0=b_o0))
     manifest["configs"].append(run_config(
         binary, args.out, "config2_qcif_inter", gc.config2_qcif_inter(),
-        ["-q", "12", "-i", "15"]))
+        ["-q", "12", "-i", "15"], binary_o0=b_o0))
     manifest["configs"].append(run_config(
         binary, args.out, "config3_cif_rc", gc.config3_cif_rc(),
-        ["-r", "768000", "-i", "15"]))
+        ["-r", "768000", "-i", "15"], binary_o0=b_o0))
     # step 4: kernel-isolation probes at several quantizers
     for q in (1, 8, 16, 31):
         manifest["configs"].append(run_config(
