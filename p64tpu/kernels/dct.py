@@ -14,31 +14,39 @@ bit-exactness.
 Definition (documented contract):
 
   basis   M[u, x] = c(u)/2 * cos((2x+1) u pi / 16),  c(0)=1/sqrt(2), else 1
-  MI      = round(M * 2^13)                          (14-bit signed constants)
   rshift_round(v, s) = (v + 2^(s-1)) >> s            (arithmetic shift)
 
-  forward:  t = rshift_round(MI @ f,  10)            # keeps 3 fraction bits
-            F = rshift_round(t @ MI^T, 16)           # net scale 1
-  inverse:  t = rshift_round(MI^T @ F, 9)            # keeps 4 fraction bits
+  forward (single-stage, round 3):
+            MI2 = round(kron(M, M) * 2^15)           (16-bit signed constants)
+            vec(F) = rshift_round(MI2 @ vec(f), 15)  # ONE rounding, scale 1
+
+  inverse (two-stage separable):
+            MI = round(M * 2^13)                     (14-bit signed constants)
+            t = rshift_round(MI^T @ F, 9)            # keeps 4 fraction bits
             f = rshift_round(t @ MI,   17)
+
+The forward was two-stage through round 2; round-3 profiling showed the
+separable formulation's minor-dim-8 matmuls/relayouts cost 2.6 of the 9.3 ms
+frame step on v5e, while the flattened (..., 64) @ (64, 64) single-stage
+form is one perfectly-shaped MXU dot (K=64, lane-concat hi/lo -> N=128)
+with zero relayouts.  Single rounding is also strictly more accurate vs the
+float oracle.  The inverse stays separable: its K=64 form would 4x the VPU
+multiply count on the CPU decode path for no TPU win (reconstruct measured
+0.9 ms), and its 4-fraction-bit intermediate is what meets IEEE 1180.
 
 The inverse keeps 4 fraction bits in the intermediate so that the IDCT meets
 the IEEE Std 1180-1990 statistical accuracy bounds required of H.261
 decoders (H.261 section 3.2.3 / section 4.2.4.4): ppe <= 1, pmse <= 0.06,
 omse <= 0.02, pme <= 0.015, ome <= 0.0015 -- enforced by
-tests/test_kernels.py::test_idct_ieee1180_conformance (measured omse
-~0.015, vs 0.022 at the previous 2-fraction-bit shifts).
+tests/test_kernels.py::test_idct_ieee1180_conformance.
 
 Worst-case int32 bounds, valid for ARBITRARY (foreign-stream) inputs:
-max_x sum_u |MI[u,x]| = 21641, so forward (|f| <= 255) peaks at 2^26.8 and
-inverse (|F| <= 2048) at t <= 2^16.4 and stage-2 products <= 2^30.8 -- no
-int32 overflow even for adversarial coefficient blocks.  Output range:
-|F| <= 2047 after the caller's clamp; inverse output is clamped by the
-caller during reconstruction.
+forward: max_row sum |MI2| = 221,262 < 2^17.8, so |sums| <= 255 * 2^17.8
+< 2^25.8.  inverse: max_x sum_u |MI[u,x]| = 21641, so t <= 2^16.4 and
+stage-2 products <= 2^30.8 -- no int32 overflow even for adversarial
+coefficient blocks.  Output range: |F| <= 2047 after the caller's clamp;
+inverse output is clamped by the caller during reconstruction.
 
-Implemented as two batched 8x8 integer matmuls over a (N, 8, 8) block tensor:
-on TPU this is VPU work fused by XLA (the per-block FLOP count is tiny; the
-batch dimension provides the parallelism -- SURVEY section 7 "batch all MBs").
 A float64 separable DCT is provided as the test oracle (the reference's
 "ReferenceDct" analogue, dct.c, unverified).
 """
@@ -50,7 +58,7 @@ import jax
 import jax.numpy as jnp
 
 SCALE_BITS = 13
-FWD_SHIFT1, FWD_SHIFT2 = 10, 16
+FWD_SCALE_BITS = 15
 INV_SHIFT1, INV_SHIFT2 = 9, 17
 
 
@@ -62,9 +70,14 @@ def _float_basis() -> np.ndarray:
     return m
 
 
-#: float64 basis (oracle) and its fixed-point image (production constants).
+#: float64 basis (oracle) and its fixed-point images (production constants):
+#: MI (8x8) for the separable inverse, MI2 (64x64) for the single-stage
+#: forward -- MI2[8u+v, 8x+y] = round(M[u,x] * M[v,y] * 2^15).
 M_FLOAT: np.ndarray = _float_basis()
 MI: np.ndarray = np.round(M_FLOAT * (1 << SCALE_BITS)).astype(np.int32)
+MI2: np.ndarray = np.round(np.kron(M_FLOAT, M_FLOAT)
+                           * (1 << FWD_SCALE_BITS)).astype(np.int32)
+assert int(np.abs(MI2).sum(axis=1).max()) * 255 < 2 ** 31  # int32-safe
 
 
 def rshift_round(v: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -72,72 +85,48 @@ def rshift_round(v: jnp.ndarray, s: int) -> jnp.ndarray:
     return (v + (1 << (s - 1))) >> s
 
 
-#: bf16 hi/lo split of the basis for the MXU path: MI = 128*MI_HI + MI_LO
-#: with MI_HI in [-64, 64] and MI_LO in [-64, 63] -- both bf16-exact.
-_MI_HI: np.ndarray = (MI + 64) >> 7
-_MI_LO: np.ndarray = MI - 128 * _MI_HI
-assert (np.abs(_MI_HI) <= 64).all() and (np.abs(_MI_LO) <= 64).all()
+#: bf16 hi/lo split of MI2 for the MXU path: MI2 = 256*hi + lo with
+#: hi in [-128, 128] and lo in [-128, 127] -- both bf16-exact integers.
+_MI2_HI: np.ndarray = (MI2 + 128) >> 8
+_MI2_LO: np.ndarray = MI2 - 256 * _MI2_HI
+assert (np.abs(_MI2_HI) <= 128).all() and (np.abs(_MI2_LO) <= 128).all()
 
 
 def _fdct8x8_mxu(blocks: jnp.ndarray) -> jnp.ndarray:
     """MXU formulation of fdct8x8, bit-identical to the int32 einsum path.
 
-    STANDALONE this is ~3x slower than the int32 einsum (minor-dim-8
-    relayouts), but inside the fused encoder frame step it is a net WIN on
-    v5e (9.3 vs 9.9 ms per 16-stream CIF step): the VPU is the frame
-    step's saturated unit, and this moves the DCT multiplies onto the
-    otherwise-idle MXU.  Exact integer arithmetic throughout:
-
-      stage 1: inputs f in [-255, 255] (residual/pixel bound) are
-        bf16-exact; MI is split 128*hi + lo (constants above).  Each dot's
-        f32 accumulation holds |sums| <= 8*64*255 < 2^18 (exact); the
-        128*hi + lo recombination happens in int32 (stage-1 sums reach
-        2^24.4, beyond f32's exact-integer range).
-      stage 2: t1 (|t1| <= 5390 by the |MI| row-sum bound, see module
-        docstring) is split 64*thi + tlo (thi in [-85, 85], tlo in
-        [-32, 31], bf16-exact); against the split basis that is four dots,
-        each f32-exact (|sums| <= 8*85*64 < 2^17), recombined in int32.
+    ONE bf16 dot: inputs f in [-255, 255] are bf16-exact; MI2 is split
+    256*hi + lo (constants above, both bf16-exact) and the two halves are
+    lane-concatenated into a single (64, 128) rhs -- a perfect MXU tile.
+    Each f32 accumulator holds |sums| <= 64*255*128 < 2^21 (exact); the
+    256*hi + lo recombination happens in int32 (full sums reach 2^25.8,
+    beyond f32's exact-integer range).  No minor-dim-8 relayouts: the
+    (..., 8, 8) -> (..., 64) flatten is layout-free.
 
     Exactness enforced by tests/test_kernels.py::
     test_fdct_mxu_formulation_matches_int32 and the hardware parity gate.
     """
-    x = blocks.astype(jnp.float32)
-    shp = x.shape
-    mhi = jnp.asarray(_MI_HI, jnp.bfloat16)
-    mlo = jnp.asarray(_MI_LO, jnp.bfloat16)
-    # stage 1: S[(b,y), u] = sum_x f[b, x, y] * MI[u, x]
-    a = x.swapaxes(-1, -2).reshape(-1, 8).astype(jnp.bfloat16)  # rows (b,y)
-    cat1 = jnp.concatenate([mhi.T, mlo.T], axis=1)              # (8, 16)
-    s = jax.lax.dot(a, cat1, preferred_element_type=jnp.float32)
-    s1 = 128 * s[:, :8].astype(jnp.int32) + s[:, 8:].astype(jnp.int32)
-    t = rshift_round(s1, FWD_SHIFT1)          # rows (b,y), cols u
-    # stage 2: F[(b,u), v] = sum_y t[b, u, y] * MI[v, y]
-    t = t.reshape(*shp[:-2], 8, 8).swapaxes(-1, -2).reshape(-1, 8)
-    thi = ((t + 32) >> 6).astype(jnp.bfloat16)     # [-85, 85]
-    tlo = (t - 64 * ((t + 32) >> 6)).astype(jnp.bfloat16)
-    a2 = jnp.concatenate([thi, tlo], axis=0)       # (2*b*8, 8)
-    p = jax.lax.dot(a2, cat1, preferred_element_type=jnp.float32)
-    n = t.shape[0]
-    phh = p[:n, :8].astype(jnp.int32)
-    phl = p[:n, 8:].astype(jnp.int32)
-    plh = p[n:, :8].astype(jnp.int32)
-    pll = p[n:, 8:].astype(jnp.int32)
-    s2 = 64 * (128 * phh + phl) + 128 * plh + pll
-    return rshift_round(s2, FWD_SHIFT2).reshape(shp)
+    shp = blocks.shape
+    a = blocks.reshape(-1, 64).astype(jnp.bfloat16)
+    cat = jnp.concatenate([jnp.asarray(_MI2_HI.T, jnp.bfloat16),
+                           jnp.asarray(_MI2_LO.T, jnp.bfloat16)],
+                          axis=1)                              # (64, 128)
+    s = jax.lax.dot(a, cat, preferred_element_type=jnp.float32)
+    s2 = 256 * s[:, :64].astype(jnp.int32) + s[:, 64:].astype(jnp.int32)
+    return rshift_round(s2, FWD_SCALE_BITS).reshape(shp)
 
 
 def fdct8x8(blocks: jnp.ndarray) -> jnp.ndarray:
     """Forward integer DCT over (..., 8, 8) int32 -> (..., 8, 8) int32.
 
-    TPU dispatches to the exact MXU formulation (see _fdct8x8_mxu for the
-    VPU/MXU-overlap rationale); CPU keeps the int32 einsum.  Bit-identical
-    outputs (tested)."""
+    TPU dispatches to the exact MXU formulation (see _fdct8x8_mxu); CPU
+    keeps the int32 matmul.  Bit-identical outputs (tested)."""
     if jax.default_backend() == "tpu":
         return _fdct8x8_mxu(blocks)
-    mi = jnp.asarray(MI, dtype=jnp.int32)
-    t = rshift_round(jnp.einsum("ux,...xy->...uy", mi, blocks.astype(jnp.int32)),
-                     FWD_SHIFT1)
-    return rshift_round(jnp.einsum("...uy,vy->...uv", t, mi), FWD_SHIFT2)
+    shp = blocks.shape
+    v = blocks.reshape(-1, 64).astype(jnp.int32)
+    s = jnp.einsum("nx,ux->nu", v, jnp.asarray(MI2, jnp.int32))
+    return rshift_round(s, FWD_SCALE_BITS).reshape(shp)
 
 
 def idct8x8(coefs: jnp.ndarray) -> jnp.ndarray:

@@ -220,6 +220,91 @@ def sad_map_pallas_bf16(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     return jnp.where(valid, sads, jnp.int32(1 << 30))
 
 
+def _sad_kernel_rp(cur_ref, shifted_ref, pc_ref, out_ref, *, h, w, search):
+    """Row-pool-FIRST variant of _sad_kernel_bf16 (round-3 stage_bench
+    work: ME was 5.25 of the 9.3 ms frame step, and most of it was MXU
+    padding waste -- the column-pool dot ran at M=side*h with N=mbc padded
+    22->128, and the row pool was 31 tiny (R,h)x(h,2mbc) dots).
+
+    Here the 16-row box sum runs on the VPU as an exact f32 reshape-sum
+    BEFORE any matmul, shrinking the MXU problem by 16x and eliminating
+    the per-dy dot loop entirely:
+
+      * abs-diff per dy in bf16 (integers <= 255, exact), cast f32;
+      * row pool: reshape (side*R, 16, w) -> sum axis 1.  Exact: sums
+        <= 16*255 = 4080 < 2^24 in f32 vector adds;
+      * column pool: ONE bf16 dot.  4080 is not bf16-exact, so rows are
+        split 64*hi + lo (hi, lo <= 63, bf16-exact -- same argument as
+        _sad_kernel_bf16), stacked along M, and recombined in f32 after
+        the dot (sums <= 16*63 = 1008, f32-exact).
+
+    Verified exact vs the int64 oracle by tools/tpu_parity.py."""
+    side = 2 * search + 1
+    rr = h // MB_SIZE
+    mbc = w // MB_SIZE
+    cur = cur_ref[...]                              # (h, w) bf16
+    pc = pc_ref[...]                                # (w, mbc) bf16
+    sh = shifted_ref[0]                             # (h + 2s, w) bf16
+
+    # pool each dy's rows immediately: the full (side*h, w) f32 abs-diff
+    # slab would blow the 16 MB scoped-VMEM budget (measured 20.9 MB); the
+    # running result is only (side*R, w) f32 = 0.8 MB.
+    rows_list = []
+    for dy in range(side):
+        ad = jnp.abs(cur - sh[dy:dy + h, :]).astype(jnp.float32)
+        rows_list.append(ad.reshape(rr, MB_SIZE, w).sum(axis=1))   # (R, w)
+    rows = jnp.concatenate(rows_list, axis=0)                 # (side*R, w)
+    hi = jnp.floor(rows * (1.0 / 64.0))
+    lo = rows - 64.0 * hi
+    stacked = jnp.concatenate([hi.astype(jnp.bfloat16),
+                               lo.astype(jnp.bfloat16)], axis=0)
+    part = jax.lax.dot(stacked, pc,
+                       preferred_element_type=jnp.float32)  # (2*side*R, mbc)
+    n = side * rr
+    out = 64.0 * part[:n] + part[n:]
+    out_ref[0] = out.reshape(side, rr, mbc)
+
+
+@functools.partial(jax.jit, static_argnames=("search", "interpret"))
+def sad_map_pallas_rp(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
+                      search: int = DEFAULT_SEARCH_RANGE,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Same contract as sad_map_pallas; row-pool-first data path (exact,
+    see kernel)."""
+    h, w = cur_y.shape
+    mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
+    n_mb = mb_rows * mb_cols
+    side = 2 * search + 1
+
+    cur = cur_y.astype(jnp.bfloat16)
+    ref_pad = jnp.pad(ref_y.astype(jnp.bfloat16), search)
+    shifted = jnp.stack([ref_pad[:, dx:dx + w] for dx in range(side)])
+    _, pc = _pool_matrices(h, w)
+
+    out = pl.pallas_call(
+        functools.partial(_sad_kernel_rp, h=h, w=w, search=search),
+        grid=(side,),
+        in_specs=[
+            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2 * search, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, mb_cols), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, side, mb_rows, mb_cols),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((side, side, mb_rows, mb_cols),
+                                       jnp.float32),
+        interpret=interpret,
+    )(cur, shifted, jnp.asarray(pc, jnp.bfloat16))
+
+    sads = jnp.swapaxes(out, 0, 1).reshape(side * side, n_mb)
+    sads = sads.astype(jnp.int32)
+    valid = _me_validity(h, w, n_mb, mb_cols, search)
+    return jnp.where(valid, sads, jnp.int32(1 << 30))
+
+
 def _sad_kernel_i8(cur_ref, shifted_ref, pr_ref, pc_ref, out_ref, *,
                    h, w, search):
     """int8-MXU variant of _sad_kernel_bf16 (the production kernel).

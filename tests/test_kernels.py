@@ -49,10 +49,14 @@ def test_dct_int32_bounds_safe():
     x = np.full((1, 8, 8), 255, dtype=np.int64)
     x[:, ::2] = -255
     mi = dct.MI.astype(np.int64)
-    t64 = (np.einsum("ux,nxy->nuy", mi, x) + (1 << 9)) >> 10
-    f64 = (np.einsum("nuy,vy->nuv", t64, mi) + (1 << 15)) >> 16
+    sb = dct.FWD_SCALE_BITS
+    s64 = np.einsum("nx,ux->nu", x.reshape(-1, 64), dct.MI2.astype(np.int64))
+    f64 = ((s64 + (1 << (sb - 1))) >> sb).reshape(-1, 8, 8)
     got = np.asarray(dct.fdct8x8(jnp.asarray(x, dtype=jnp.int32)))
     np.testing.assert_array_equal(got, f64)
+    # analytic forward worst case stays inside int32 for any |f| <= 255
+    assert int(np.abs(dct.MI2.astype(np.int64)).sum(axis=1).max()) * 255 \
+        + (1 << (sb - 1)) < 2 ** 31
     c = np.where(RNG.integers(0, 2, (8, 8, 8)) > 0, 2047, -2048).astype(np.int64)
     s1, s2 = dct.INV_SHIFT1, dct.INV_SHIFT2
     t64 = (np.einsum("ux,nuv->nxv", mi, c) + (1 << (s1 - 1))) >> s1
@@ -329,10 +333,12 @@ def test_fdct_mxu_formulation_matches_int32():
             b = -b
         corners.append(b)
     blocks = np.concatenate([blocks, np.stack(corners)])
-    mi = jnp.asarray(d.MI, dtype=jnp.int32)
-    t = d.rshift_round(jnp.einsum("ux,...xy->...uy", mi,
-                                  jnp.asarray(blocks)), d.FWD_SHIFT1)
-    want = np.asarray(d.rshift_round(jnp.einsum("...uy,vy->...uv", t, mi),
-                                     d.FWD_SHIFT2))
+    # int64 oracle of the documented single-stage definition
+    s = np.einsum("nx,ux->nu", blocks.reshape(-1, 64).astype(np.int64),
+                  d.MI2.astype(np.int64))
+    want = ((s + (1 << (d.FWD_SCALE_BITS - 1))) >> d.FWD_SCALE_BITS
+            ).reshape(-1, 8, 8)
     got = np.asarray(d._fdct8x8_mxu(jnp.asarray(blocks)))
     np.testing.assert_array_equal(got, want)
+    got_cpu = np.asarray(d.fdct8x8(jnp.asarray(blocks)))
+    np.testing.assert_array_equal(got_cpu, want)

@@ -1,9 +1,11 @@
-"""Benchmark breadth: all configs + stream-count scaling (VERDICT item 10).
+"""Benchmark breadth: all configs + stream-count scaling + decode + host
+finalize (round-2 verdict items 1, 5, 10).
 
-Runs bench.measure over {cif, cif_rc, cif_intra, qcif} and a stream-count
-scaling curve {4, 16, 32, 64} for the headline config, then prints a
-markdown table (stderr prints progress; stdout the table) ready to paste
-into BASELINE.md.  Run in the TPU session:
+Runs bench.measure over {cif, cif_rc, cif_intra, qcif}, a stream-count
+scaling curve {4, 16, 32, 64} for the headline config, the decoder
+benchmark, and a host-finalize timing at 64 streams, then prints a markdown
+table (stderr prints progress; stdout the table) ready to paste into
+BASELINE.md.  Run in the TPU session:
 
     python tools/bench_breadth.py
 """
@@ -12,10 +14,46 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
+
+
+def measure_finalize(streams: int = 64, frames_t: int = 8) -> dict:
+    """Host serialize_streams cost at scale (round-2 verdict item 10): the
+    per-stream C++ serializer calls run in a serial Python loop; measure
+    whether they rival device time at 64 streams."""
+    import jax
+    import jax.numpy as jnp
+    from p64tpu.control.ratecontrol import RateConfig
+    from p64tpu.core import encoder as enc
+    from p64tpu.entropy.encode import serialize_sequence
+    from p64tpu.spec.constants import CIF
+
+    bench._enable_cache(jax)
+    cfg = enc.EncoderConfig(fmt=CIF, search=15,
+                            rate=RateConfig(fixed_quant=10))
+    frames = bench.make_content(CIF, streams, frames_t)
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (streams,) + x.shape),
+        enc.init_state(cfg))
+    import numpy as np
+    _, outputs = enc.encode_sequence_jit(cfg, frames, states)
+    outputs = {k: np.asarray(v) for k, v in outputs.items()}
+    best = float("inf")
+    nbytes = 0
+    for _ in range(3):
+        t0 = time.time()
+        nbytes = 0
+        for s in range(streams):
+            syms = enc.outputs_to_symbols(
+                cfg, {k: v[s] for k, v in outputs.items()})
+            data, _ = serialize_sequence(cfg.fmt, syms)
+            nbytes += len(data)
+        best = min(best, time.time() - t0)
+    return dict(streams=streams, ms=best * 1e3, bytes=nbytes)
 
 
 def main() -> int:
@@ -26,11 +64,20 @@ def main() -> int:
     for streams in (4, 32, 64):
         r = bench.measure("cif", streams=streams)
         rows.append((f"cif ({streams} streams)", r))
+    rd = bench.measure_decode()
+    rows.append(("decode (16 streams)", rd))
 
-    print("| config | MB/s/chip | ms/run | total bits |")
-    print("|---|---|---|---|")
+    print("| config | MB/s/chip | ms/run | total bits | compile s |")
+    print("|---|---|---|---|---|")
     for name, r in rows:
-        print(f"| {name} | {r['mbs']:,.0f} | {r['ms']:.1f} | {r['bits']} |")
+        extra = (f" (parse {r['parse_ms']:.0f} + device {r['device_ms']:.0f})"
+                 if "parse_ms" in r else "")
+        print(f"| {name} | {r['mbs']:,.0f} | {r['ms']:.1f}{extra} "
+              f"| {r['bits']} | {r.get('compile_s', float('nan')):.0f} |")
+
+    f = measure_finalize()
+    print(f"\nhost finalize: {f['streams']} CIF streams x 8 frames = "
+          f"{f['ms']:.1f} ms host-serial ({f['bytes']} bytes)")
     return 0
 
 

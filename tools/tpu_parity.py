@@ -177,10 +177,10 @@ def check_dct() -> bool:
     rng = np.random.default_rng(11)
     x = rng.integers(-255, 256, (2048, 8, 8)).astype(np.int64)
     mi = dct.MI.astype(np.int64)
-    t = (np.einsum("ux,nxy->nuy", mi, x) + (1 << (dct.FWD_SHIFT1 - 1))
-         ) >> dct.FWD_SHIFT1
-    want_f = (np.einsum("nuy,vy->nuv", t, mi) + (1 << (dct.FWD_SHIFT2 - 1))
-              ) >> dct.FWD_SHIFT2
+    mi2 = dct.MI2.astype(np.int64)
+    s = np.einsum("nx,ux->nu", x.reshape(-1, 64), mi2)
+    want_f = ((s + (1 << (dct.FWD_SCALE_BITS - 1))) >> dct.FWD_SCALE_BITS
+              ).reshape(-1, 8, 8)
     got_f = np.asarray(dct.fdct8x8(jnp.asarray(x, jnp.int32)))
     c = rng.integers(-2048, 2048, (2048, 8, 8)).astype(np.int64)
     t = (np.einsum("ux,nuv->nxv", mi, c) + (1 << (dct.INV_SHIFT1 - 1))
