@@ -238,6 +238,13 @@ def _sad_kernel_rp(cur_ref, shifted_ref, pc_ref, out_ref, *, h, w, search):
         _sad_kernel_bf16), stacked along M, and recombined in f32 after
         the dot (sums <= 16*63 = 1008, f32-exact).
 
+    A/B result (v5e, 16-stream CIF, 30-iter fori harness): 4.16 ms/iter vs
+    4.02 for _sad_kernel_bf16 -- NOT faster, despite 16x less padded MXU
+    work.  Conclusion: the SAD kernels are VPU-bound on the 961 full-plane
+    abs-diff passes (the algorithm's intrinsic byte-ops) plus bf16->f32
+    casts, not MXU-bound; kept as the measured record and exercised by the
+    hardware gate (repo policy: no device path without a parity assertion).
+
     Verified exact vs the int64 oracle by tools/tpu_parity.py."""
     side = 2 * search + 1
     rr = h // MB_SIZE

@@ -173,7 +173,11 @@ def main(argv):
                              ref_y, ref_cb, ref_cr).sum()
     stages["reconstruct"] = (st_recon, levels)
 
-    # --- whole frame step (for cross-check: sum of stages ~ this) ---
+    # --- whole frame step (for cross-check: sum of stages ~ this).
+    # NOTE: the returned value must depend on new_state too, or XLA
+    # dead-code-eliminates the whole reconstruction (a fori body that
+    # discards the carry measured 9.3 ms while the real scan step in
+    # bench.py paid ~13.5 -- round-3 lesson). ---
     def st_frame(pert, acc):
         states = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (STREAMS,) + x.shape),
@@ -183,7 +187,9 @@ def main(argv):
         fr = dict(y=(cur_y + pert).astype(jnp.uint8), cb=ref_cb, cr=ref_cr)
         st2, out = jax.vmap(
             lambda s, f: enc.encode_frame_step(cfg, s, f))(states, fr)
-        return out["total_bits"].sum()
+        return (out["total_bits"].sum()
+                + st2["ref_y"].astype(jnp.int32).sum()
+                + st2["refresh"].sum())
     stages["frame_step"] = (st_frame, cur_y)
 
     want = argv[1:] or list(stages)
