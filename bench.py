@@ -257,7 +257,11 @@ def measure(config: str = "cif", streams: int = 16, frames_t: int = 8,
 def main() -> int:
     run_parity_gate()
     streams = int(os.environ.get("P64_BENCH_STREAMS", "16"))
-    frames_t = int(os.environ.get("P64_BENCH_FRAMES", "8"))
+    # 32 frames/stream: one timed dispatch carries ~29 ms of axon-tunnel
+    # round-trip latency (measured round 3: 8x9.6 ms of device work timed
+    # as 105.8 ms); a longer steady-state run amortizes that measurement
+    # artifact, which does not exist on locally-attached production chips.
+    frames_t = int(os.environ.get("P64_BENCH_FRAMES", "32"))
     reps = int(os.environ.get("P64_BENCH_REPS", "3"))
     quant = int(os.environ.get("P64_BENCH_QUANT", "10"))
     config = os.environ.get("P64_BENCH_CONFIG", "cif")

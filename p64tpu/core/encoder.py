@@ -43,9 +43,9 @@ from ..control.ratecontrol import (
 )
 from ..entropy import lengths
 from ..entropy.encode import FrameSymbols
-from ..kernels.dct import fdct8x8
+from ..kernels.dct import fdct8x8_zz
 from ..kernels.me import full_search
-from ..kernels.quant import quantize
+from ..kernels.quant import quantize_zz
 from ..spec.constants import (
     DEFAULT_SEARCH_RANGE,
     MBS_PER_GOB,
@@ -171,7 +171,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     pred_blocks = assemble_blocks(pred_y, pred_cb, pred_cr)
     resid = cur_blocks - jnp.where(intra[:, None, None, None], 0,
                                    pred_blocks)
-    coefs = fdct8x8(resid)                       # (nMB, 6, 8, 8)
+    coefs = fdct8x8_zz(resid)                    # (nMB, 6, 64) zigzag
 
     # ---- per-GOB rate-control scan (transmission order) ----
     ngob = fmt.num_gobs
@@ -179,7 +179,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     def t(x, *shape):
         return to_gob_order(fmt, x)
 
-    coefs_t = t(coefs, 6, 8, 8)
+    coefs_t = t(coefs, 6, 64)
     intra_t = t(intra)
     mc_t = t(use_mc)
     fil_t = t(fil)
@@ -188,7 +188,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     def process_gob(coefs_g, intra_g, mc_g, fil_g, mv_g, q):
         """Quantize one GOB (or a batch of GOBs) at quantizer q and derive
         CBP/MTYPE/coded masks plus the exact payload bit cost."""
-        levels = quantize(coefs_g, q, intra_g[..., None, None, None])
+        levels = quantize_zz(coefs_g, q, intra_g[..., None, None])
         nzblk = (levels != 0).any(axis=-1)                  # (..., 33, 6)
         weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
         cbp = jnp.where(nzblk, weights, 0).sum(axis=-1)
@@ -222,8 +222,8 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         q_seg = gob_quant(cfg.rate, buffer + prefix)              # (S,)
         q_mb = jnp.where(seg_oh, q_seg[:, None], 0).sum(0)        # (33,)
         # pass 2: real quantization at the per-MB quantizer
-        levels = quantize(coefs_g, q_mb[:, None, None, None],
-                          intra_g[..., None, None, None])
+        levels = quantize_zz(coefs_g, q_mb[:, None, None],
+                             intra_g[..., None, None])
         weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
         cbp = jnp.where((levels != 0).any(axis=-1), weights, 0).sum(axis=-1)
         has_coef = cbp > 0
@@ -279,7 +279,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
                           jnp.int32)
         levels_t, cbp_t, mtype_t, coded_t, gob_bits = process_gob(
             coefs_t, intra_t, mc_t, fil_t, mv_t,
-            gquant[:, None, None, None, None])
+            gquant[:, None, None, None])
         quant_t = jnp.broadcast_to(gquant[:, None], (ngob, MBS_PER_GOB))
         buffer_after = state["buffer"] + gob_bits.sum()
 

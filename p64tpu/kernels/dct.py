@@ -85,11 +85,22 @@ def rshift_round(v: jnp.ndarray, s: int) -> jnp.ndarray:
     return (v + (1 << (s - 1))) >> s
 
 
+#: zigzag-ordered forward basis: row k of MI2_ZZ produces the k-th
+#: zigzag-scan coefficient, so the encoder gets transmission-ordered
+#: levels straight out of the DCT dot with ZERO permutation cost (the
+#: zigzag gather in quantize measured as real VPU time in round 3).
+#: Same numbers, different row order: fdct8x8_zz(x) == zigzag(fdct8x8(x)).
+from ..spec.zigzag import ZIGZAG as _ZZ  # noqa: E402  (after MI2)
+
+MI2_ZZ: np.ndarray = MI2[np.asarray(_ZZ)]
+
 #: bf16 hi/lo split of MI2 for the MXU path: MI2 = 256*hi + lo with
 #: hi in [-128, 128] and lo in [-128, 127] -- both bf16-exact integers.
 _MI2_HI: np.ndarray = (MI2 + 128) >> 8
 _MI2_LO: np.ndarray = MI2 - 256 * _MI2_HI
 assert (np.abs(_MI2_HI) <= 128).all() and (np.abs(_MI2_LO) <= 128).all()
+_MI2Z_HI: np.ndarray = (MI2_ZZ + 128) >> 8
+_MI2Z_LO: np.ndarray = MI2_ZZ - 256 * _MI2Z_HI
 
 
 def _fdct8x8_mxu(blocks: jnp.ndarray) -> jnp.ndarray:
@@ -127,6 +138,30 @@ def fdct8x8(blocks: jnp.ndarray) -> jnp.ndarray:
     v = blocks.reshape(-1, 64).astype(jnp.int32)
     s = jnp.einsum("nx,ux->nu", v, jnp.asarray(MI2, jnp.int32))
     return rshift_round(s, FWD_SCALE_BITS).reshape(shp)
+
+
+def fdct8x8_zz(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Forward integer DCT emitting ZIGZAG-ordered coefficients directly:
+    (..., 8, 8) int32 -> (..., 64) int32 with
+    fdct8x8_zz(x)[..., k] == zigzag(fdct8x8(x))[..., k].
+
+    Same arithmetic as fdct8x8 (MI2 rows permuted -- see MI2_ZZ), so the
+    transmission-order permutation costs literally nothing.  This is the
+    encoder's production entry; fdct8x8 remains for (8, 8)-layout callers
+    and tests."""
+    shp = blocks.shape[:-2]
+    if jax.default_backend() == "tpu":
+        a = blocks.reshape(-1, 64).astype(jnp.bfloat16)
+        cat = jnp.concatenate([jnp.asarray(_MI2Z_HI.T, jnp.bfloat16),
+                               jnp.asarray(_MI2Z_LO.T, jnp.bfloat16)],
+                              axis=1)                          # (64, 128)
+        s = jax.lax.dot(a, cat, preferred_element_type=jnp.float32)
+        s2 = (256 * s[:, :64].astype(jnp.int32)
+              + s[:, 64:].astype(jnp.int32))
+        return rshift_round(s2, FWD_SCALE_BITS).reshape(*shp, 64)
+    v = blocks.reshape(-1, 64).astype(jnp.int32)
+    s = jnp.einsum("nx,ux->nu", v, jnp.asarray(MI2_ZZ, jnp.int32))
+    return rshift_round(s, FWD_SCALE_BITS).reshape(*shp, 64)
 
 
 def idct8x8(coefs: jnp.ndarray) -> jnp.ndarray:

@@ -92,6 +92,29 @@ def quantize(coefs: jnp.ndarray, quant: jnp.ndarray,
     return zigzag_scan(out)
 
 
+def quantize_zz(coefs_zz: jnp.ndarray, quant: jnp.ndarray,
+                intra: jnp.ndarray) -> jnp.ndarray:
+    """Quantize ZIGZAG-ordered DCT coefficients (the fdct8x8_zz pipeline:
+    no permutation needed -- the intra DC is already slot 0).
+
+    Args:
+      coefs_zz: (..., 64) int32 zigzag-ordered transform coefficients.
+      quant: broadcastable integer QUANT (1..31), e.g. (..., 1).
+      intra: broadcastable boolean against (..., 64).
+
+    Returns (..., 64) int32 zigzag levels -- identical to
+    quantize(zigzag_unscan(coefs_zz), ...)."""
+    coefs = coefs_zz.astype(jnp.int32)
+    q2 = (2 * jnp.asarray(quant)).astype(jnp.int32)
+    m = _magic_for(q2)
+    av = jnp.abs(coefs)
+    ac = jnp.sign(coefs) * ((av * m) >> _DIV_K)
+    ac = jnp.clip(ac, -LEVEL_CLAMP, LEVEL_CLAMP)
+    dc_intra = jnp.clip((coefs + 4) >> 3, 1, 254)
+    slot0 = jnp.zeros(64, dtype=bool).at[0].set(True)
+    return jnp.where(jnp.logical_and(intra, slot0), dc_intra, ac)
+
+
 def dequantize(levels_zz: jnp.ndarray, quant: jnp.ndarray,
                intra: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`quantize`: (..., 64) zigzag levels -> (..., 8, 8)

@@ -49,9 +49,9 @@ def main(argv):
     from p64tpu.core.predict import mc_predict
     from p64tpu.core.reconstruct import reconstruct_frame
     from p64tpu.entropy import lengths
-    from p64tpu.kernels.dct import fdct8x8
+    from p64tpu.kernels.dct import fdct8x8_zz
     from p64tpu.kernels.me import full_search
-    from p64tpu.kernels.quant import quantize
+    from p64tpu.kernels.quant import quantize_zz
     from p64tpu.spec.constants import CIF
 
     fmt = CIF
@@ -128,17 +128,17 @@ def main(argv):
 
     # --- forward DCT ---
     def st_dct(pert, acc):
-        return fdct8x8(blocks + pert).sum()
+        return fdct8x8_zz(blocks + pert).sum()
     stages["fdct"] = (st_dct, blocks)
 
     # --- quantize + cbp/mtype derivation + exact length model (the
     #     fixed-q single-shot process_gob over all 12 GOBs) ---
     def st_quant_len(pert, acc):
         def one(cf, it, mvv):
-            c_t = to_gob_order(fmt, cf)
+            c_t = to_gob_order(fmt, cf).reshape(-1, 33, 6, 64)
             i_t = to_gob_order(fmt, it)
             m_t = to_gob_order(fmt, mvv)
-            lv = quantize(c_t, jnp.int32(10), i_t[..., None, None, None])
+            lv = quantize_zz(c_t, jnp.int32(10), i_t[..., None, None])
             nz = (lv != 0).any(axis=-1)
             wts = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
             cbp_ = jnp.where(nz, wts, 0).sum(axis=-1)
@@ -149,10 +149,10 @@ def main(argv):
         return jax.vmap(one)(coefs + pert, intra, mv).sum()
     stages["quant_plus_lengths"] = (st_quant_len, coefs)
 
-    # --- quantize alone ---
+    # --- quantize alone (zigzag pipeline) ---
     def st_quant(pert, acc):
-        lv = quantize(coefs + pert, jnp.int32(10),
-                      intra[..., None, None, None])
+        zz = (coefs + pert).reshape(STREAMS, n_mb, 6, 64)
+        lv = quantize_zz(zz, jnp.int32(10), intra[..., None, None])
         return lv.sum()
     stages["quantize_only"] = (st_quant, coefs)
 
