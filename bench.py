@@ -84,7 +84,7 @@ def _enable_cache(jax):
         pass
 
 
-def measure_decode(streams: int = 16, frames_t: int = 8, reps: int = 3,
+def measure_decode(streams: int = 16, frames_t: int = 32, reps: int = 3,
                    quant: int = 10) -> dict:
     """Decoder throughput at CIF (VERDICT round-2 item 5): host VLC parse
     (C++ engine) and the jitted device reconstruct scan, timed separately.
@@ -162,7 +162,7 @@ def measure_decode(streams: int = 16, frames_t: int = 8, reps: int = 3,
                 parse_ms=parse_best * 1e3, device_ms=dev_best * 1e3)
 
 
-def measure(config: str = "cif", streams: int = 16, frames_t: int = 8,
+def measure(config: str = "cif", streams: int = 16, frames_t: int = 32,
             reps: int = 3, quant: int = 10) -> dict:
     """Time one benchmark configuration; returns a result dict.
 
