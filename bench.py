@@ -109,7 +109,8 @@ def measure_decode(streams: int = 16, frames_t: int = 32, reps: int = 3,
     states = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (streams,) + x.shape),
         enc.init_state(cfg))
-    _, outputs = enc.encode_sequence_jit(cfg, frames, states)
+    _, outputs = jax.jit(jax.vmap(
+        lambda s, f: enc.encode_sequence(cfg, f, s)))(states, frames)
     outputs = {k: np.asarray(v) for k, v in outputs.items()}
     datas = []
     for s in range(streams):
@@ -256,7 +257,11 @@ def measure(config: str = "cif", streams: int = 16, frames_t: int = 32,
 
 def main() -> int:
     run_parity_gate()
-    streams = int(os.environ.get("P64_BENCH_STREAMS", "16"))
+    # 64 streams: the round-3 scaling curve (BASELINE.md) measured 667k
+    # MB/s at 64 vs 613k at 16 -- production deployments batch as many
+    # independent streams as HBM allows, so the headline uses the measured
+    # sweet spot.
+    streams = int(os.environ.get("P64_BENCH_STREAMS", "64"))
     # 32 frames/stream: one timed dispatch carries ~29 ms of axon-tunnel
     # round-trip latency (measured round 3: 8x9.6 ms of device work timed
     # as 105.8 ms); a longer steady-state run amortizes that measurement

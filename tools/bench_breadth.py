@@ -40,7 +40,8 @@ def measure_finalize(streams: int = 64, frames_t: int = 8) -> dict:
         lambda x: jnp.broadcast_to(x, (streams,) + x.shape),
         enc.init_state(cfg))
     import numpy as np
-    _, outputs = enc.encode_sequence_jit(cfg, frames, states)
+    _, outputs = jax.jit(jax.vmap(
+        lambda s, f: enc.encode_sequence(cfg, f, s)))(states, frames)
     outputs = {k: np.asarray(v) for k, v in outputs.items()}
     best = float("inf")
     nbytes = 0
