@@ -312,93 +312,6 @@ def sad_map_pallas_rp(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     return jnp.where(valid, sads, jnp.int32(1 << 30))
 
 
-def _sad_kernel_v2(cur_ref, shifted_ref, pr_ref, pc_ref, out_ref, *,
-                   h, w, search):
-    """Round-3 combined variant: int8 column pool + ONE lane-batched row
-    dot (vs _sad_kernel_bf16's bf16 column pool + 31 tiny row dots).
-
-      * abs-diff per dy in bf16 (exact, <= 255), biased to int8 via
-        ad - 128 (the _sad_kernel_i8 trick; +128*16 per box undone after
-        the dot) -- the int8 MXU runs at 2x the bf16 rate and the column
-        dot is the kernel's largest padded-FLOP term;
-      * part >> 6 / & 63 split to bf16 (both <= 63, exact), then the 31
-        per-dy (h, 2mbc) row-blocks are concatenated along LANES into one
-        (h, side*2mbc) operand so the 16x-padded M=18 row dot is paid ONCE
-        instead of 31 times;
-      * per-dy [hi|lo] lanes recombined in f32 (sums <= 16*63, exact).
-
-    Exact by the same integer arguments as the bf16/i8 kernels; verified
-    on hardware by tools/tpu_parity.py."""
-    side = 2 * search + 1
-    mbc = w // MB_SIZE
-    cur = cur_ref[...]                              # (h, w) bf16
-    pr = pr_ref[...]                                # (mb_rows, h) bf16
-    pc = pc_ref[...]                                # (w, mbc) int8
-    sh = shifted_ref[0]                             # (h + 2s, w) bf16
-
-    ad_rows = []
-    for dy in range(side):
-        ad = jnp.abs(cur - sh[dy:dy + h, :])
-        ad_rows.append((ad - 128.0).astype(jnp.int8))
-    ad_all = jnp.concatenate(ad_rows, axis=0)       # (side*h, w) int8
-    part = jax.lax.dot(ad_all, pc,
-                       preferred_element_type=jnp.int32)    # (side*h, mbc)
-    part = part + 128 * MB_SIZE                     # undo the bias, exact
-    hi = (part >> 6).astype(jnp.bfloat16)           # 0..63, bf16-exact
-    lo = (part & 63).astype(jnp.bfloat16)
-    hl = jnp.concatenate([hi, lo], axis=1)          # (side*h, 2mbc)
-    wide = jnp.concatenate([hl[dy * h:(dy + 1) * h, :]
-                            for dy in range(side)], axis=1)  # (h, side*2mbc)
-    res = jax.lax.dot(pr, wide,
-                      preferred_element_type=jnp.float32)  # (R, side*2mbc)
-    for dy in range(side):
-        blk = res[:, dy * 2 * mbc:(dy + 1) * 2 * mbc]
-        out_ref[0, dy] = 64.0 * blk[:, :mbc] + blk[:, mbc:]
-
-
-@functools.partial(jax.jit, static_argnames=("search", "interpret"))
-def sad_map_pallas_v2(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
-                      search: int = DEFAULT_SEARCH_RANGE,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Same contract as sad_map_pallas; int8 column pool + lane-batched
-    row dot (exact, see kernel)."""
-    h, w = cur_y.shape
-    mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
-    n_mb = mb_rows * mb_cols
-    side = 2 * search + 1
-
-    cur = cur_y.astype(jnp.bfloat16)
-    ref_pad = jnp.pad(ref_y.astype(jnp.bfloat16), search)
-    shifted = jnp.stack([ref_pad[:, dx:dx + w] for dx in range(side)])
-    pr, pc = _pool_matrices(h, w)
-
-    out = pl.pallas_call(
-        functools.partial(_sad_kernel_v2, h=h, w=w, search=search),
-        grid=(side,),
-        in_specs=[
-            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h + 2 * search, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mb_rows, h), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, mb_cols), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, side, mb_rows, mb_cols),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((side, side, mb_rows, mb_cols),
-                                       jnp.float32),
-        interpret=interpret,
-    )(cur, shifted, jnp.asarray(pr, jnp.bfloat16),
-      jnp.asarray(pc, jnp.int8))
-
-    sads = jnp.swapaxes(out, 0, 1).reshape(side * side, n_mb)
-    sads = sads.astype(jnp.int32)
-    valid = _me_validity(h, w, n_mb, mb_cols, search)
-    return jnp.where(valid, sads, jnp.int32(1 << 30))
-
-
 def _sad_kernel_i8(cur_ref, shifted_ref, pr_ref, pc_ref, out_ref, *,
                    h, w, search):
     """int8-MXU variant of _sad_kernel_bf16 (the production kernel).

@@ -141,7 +141,6 @@ def check_sad() -> bool:
         variants = {
             "pallas_bf16": lambda: me_pallas.sad_map_pallas_bf16(cj, rj, s),
             "pallas_rp": lambda: me_pallas.sad_map_pallas_rp(cj, rj, s),
-            "pallas_v2": lambda: me_pallas.sad_map_pallas_v2(cj, rj, s),
             "shifted": lambda: jax.jit(me.sad_map_shifted,
                                        static_argnums=2)(cj, rj, s),
             "i8": lambda: jax.jit(me.sad_map_i8, static_argnums=2)(cj, rj, s),
