@@ -150,6 +150,17 @@ def _sad_kernel_bf16(cur_ref, shifted_ref, pr_ref, pc_ref, out_ref, *,
     # column-pool matmul (A/B-measured faster than a per-dy pipeline:
     # 5.3 ms vs 8.5 ms per 16-stream CIF step on v5e -- the MXU prefers
     # the single tall dispatch over 31 medium ones).
+    #
+    # Round-3 A/B record (16-stream CIF, 30-iter fori harness, kernel-only
+    # timings on v5e): THIS kernel 4.02 ms/iter; row-pool-first f32
+    # reshape-sum (sad_map_pallas_rp) 4.16; int8 column pool + single
+    # lane-batched row dot 7.02 (int8 casts + the (h, side*2mbc)
+    # lane-concat relayout dominated; deleted); phase-grouped dy slices
+    # staged through 16 tile-aligned VMEM scratch copies 4.53 (the scratch
+    # writes cost more than the unaligned-slice shifts they avoided;
+    # deleted).  Conclusion: the kernel is VPU-bound on the 961 intrinsic
+    # full-plane abs-diff passes, not MXU-bound -- further gains need
+    # fewer elementwise passes, not cheaper matmuls.
     ad_rows = []
     for dy in range(side):
         ad_rows.append(jnp.abs(cur - sh[dy:dy + h, :]))
