@@ -98,7 +98,8 @@ def measure_decode(streams: int = 16, frames_t: int = 32, reps: int = 3,
     _enable_cache(jax)
     from p64tpu.control.ratecontrol import RateConfig
     from p64tpu.core import encoder as enc
-    from p64tpu.core.decoder import _decode_scan, frames_to_tensors, parse_any
+    from p64tpu.core.decoder import (_decode_scan, frames_to_tensors,
+                                     parse_many)
     from p64tpu.spec.constants import CIF
 
     fmt = CIF
@@ -122,11 +123,11 @@ def measure_decode(streams: int = 16, frames_t: int = 32, reps: int = 3,
     total_bytes = sum(len(d) for d in datas)
     n_mb = streams * frames_t * fmt.num_mbs
 
-    # host parse (C++ engine), all streams, best of reps
+    # host parse (C++ engine, thread-fanned), all streams, best of reps
     parse_best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        parsed = [parse_any(d) for d in datas]
+        parsed = parse_many(datas)
         parse_best = min(parse_best, time.time() - t0)
     assert all(len(p) == frames_t for p in parsed)
 

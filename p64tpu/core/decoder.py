@@ -75,6 +75,24 @@ def parse_any(data: bytes) -> List[ParsedFrame]:
     return parse_stream(data)
 
 
+def parse_many(datas: List[bytes]) -> List[List[ParsedFrame]]:
+    """Parse multiple independent streams, fanning across a thread pool.
+
+    The C++ parser runs under ctypes (GIL released for the duration of the
+    call), so per-stream parses genuinely parallelize; order is preserved.
+    Round-3 decode benchmark: host parse was 131 ms vs 55 ms device
+    reconstruct for 16 CIF streams -- the host side is the decode
+    bottleneck at scale, exactly like encode finalize
+    (distrib.mesh.serialize_streams, same treatment)."""
+    if len(datas) <= 2:
+        return [parse_any(d) for d in datas]
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    workers = min(len(datas), (os.cpu_count() or 2))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(parse_any, datas))
+
+
 def decode_stream(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                         List[ParsedFrame]]:
     """bytes -> (y, cb, cr) uint8 arrays (T, ...) + the parsed symbol view."""

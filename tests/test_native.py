@@ -93,3 +93,22 @@ def test_native_roundtrip_speed_sanity():
     assert (bits_n, data_n) == (bits_p, data_p)
     parsed = native.parse(data_n)
     assert len(parsed) == 8
+
+
+def test_parse_many_matches_serial():
+    """Thread-fanned multi-stream parse must equal per-stream parse."""
+    from p64tpu.core.decoder import parse_many
+
+    rng = np.random.default_rng(31)
+    datas = []
+    for t in range(5):
+        frames = [random_frame_symbols(QCIF, rng, tr=k) for k in range(2)]
+        datas.append(encode.serialize_sequence(QCIF, frames)[0])
+    got = parse_many(datas)
+    for d, g in zip(datas, got):
+        want = parse.parse_stream(d)
+        assert len(g) == len(want)
+        for a, b in zip(g, want):
+            np.testing.assert_array_equal(a.levels, b.levels)
+            np.testing.assert_array_equal(a.coded, b.coded)
+            np.testing.assert_array_equal(a.mv, b.mv)
