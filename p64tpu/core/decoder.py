@@ -76,21 +76,17 @@ def parse_any(data: bytes) -> List[ParsedFrame]:
 
 
 def parse_many(datas: List[bytes]) -> List[List[ParsedFrame]]:
-    """Parse multiple independent streams, fanning across a thread pool.
+    """Parse multiple independent streams, fanning across a thread pool
+    (see utils.fan_map -- the ctypes C++ parse releases the GIL).
 
-    The C++ parser runs under ctypes (GIL released for the duration of the
-    call), so per-stream parses genuinely parallelize; order is preserved.
     Round-3 decode benchmark: host parse was 131 ms vs 55 ms device
     reconstruct for 16 CIF streams -- the host side is the decode
     bottleneck at scale, exactly like encode finalize
     (distrib.mesh.serialize_streams, same treatment)."""
-    if len(datas) <= 2:
-        return [parse_any(d) for d in datas]
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-    workers = min(len(datas), (os.cpu_count() or 2))
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        return list(pool.map(parse_any, datas))
+    from ..utils import fan_map
+    from ..native import load
+    load()  # build/load once before fanning out
+    return fan_map(parse_any, datas)
 
 
 def decode_stream(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray,

@@ -93,7 +93,12 @@ def _local_shard(x) -> np.ndarray:
     starts = [s.index[0].start or 0 for s in shards]
     stops = [s.index[0].stop if s.index[0].stop is not None
              else np.asarray(s.data).shape[0] for s in shards]
-    if len(set(starts)) != len(starts):   # replicated: all shards identical
+    if len(set(starts)) != len(starts):
+        # duplicate starts are only safe when FULLY replicated (every shard
+        # spans the identical range) -- a partially-replicated layout would
+        # silently drop streams if we just took shards[0]
+        assert len(set(starts)) == 1 and len(set(stops)) == 1, \
+            f"_local_shard: mixed/partial replication {list(zip(starts, stops))}"
         return np.asarray(shards[0].data)
     assert all(stops[i] <= starts[i + 1] for i in range(len(starts) - 1)), \
         f"_local_shard expects disjoint axis-0 shards, got {list(zip(starts, stops))}"

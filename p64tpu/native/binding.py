@@ -7,6 +7,7 @@ from __future__ import annotations
 import ctypes as C
 import os
 import subprocess
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -205,20 +206,30 @@ class NativeBitIO:
 
 _cached: Optional[NativeBitIO] = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def load() -> Optional[NativeBitIO]:
-    """Load (building if needed) the native engine; None if unavailable."""
+    """Load (building if needed) the native engine; None if unavailable.
+
+    Thread-safe: parse_many / serialize_streams fan first-use calls across
+    a thread pool, and concurrent unsynchronized `make` runs could link a
+    corrupted .so (round-3 review finding)."""
     global _cached, _tried
     if _cached is not None or _tried:
         return _cached
-    _tried = True
-    # always invoke make: it is timestamp-based and near-free when current,
-    # and it prevents running a stale .so after an ABI change to bitio.cpp
-    if not _build():
-        return None
-    try:
-        _cached = NativeBitIO(C.CDLL(_SO))
-    except OSError:
-        return None
-    return _cached
+    with _load_lock:
+        if _cached is not None or _tried:
+            return _cached
+        _tried = True
+        # invoke make when possible: timestamp-based and near-free when
+        # current, and it prevents running a stale .so after an ABI change
+        # to bitio.cpp.  If the build fails (no toolchain, read-only dir)
+        # but a prebuilt .so exists, still try to load it.
+        if not _build() and not os.path.exists(_SO):
+            return None
+        try:
+            _cached = NativeBitIO(C.CDLL(_SO))
+        except OSError:
+            return None
+        return _cached

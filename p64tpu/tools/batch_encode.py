@@ -111,6 +111,10 @@ def main(argv=None) -> int:
                          "bisect to isolate a poison stream)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
+    if not 0 <= args.search <= 15:
+        print(f"-i/--search must be 0..15 (H.261 MV range), got "
+              f"{args.search}", file=sys.stderr)
+        return 1
 
     paths: List[str] = []
     for pat in args.inputs:

@@ -51,7 +51,7 @@ def pinned_streams() -> Iterator[Tuple[str, bytes]]:
         QCIF, gc.config2_qcif_inter(), search=15,
         rate=RateConfig(fixed_quant=12))
     yield "config3_cif_rc768k_t10", enc(
-        CIF, {k: v[:10] for k, v in gc.config3_cif_rc(10).items()},
+        CIF, gc.config3_cif_rc(10),
         search=15, rate=RateConfig(bit_rate=768000))
     for name, y in sorted(gc.adversarial_sequences().items()):
         frames_np = gc.luma_to_frames(y)

@@ -85,7 +85,10 @@ int main(int argc, char **argv) {
 }
 """
 
-MAKEFILE = "all: p64\np64: p64.c\n\tcc $(CFLAGS) -o p64 p64.c\n"
+# CFLAGS set INSIDE the Makefile, like real PVRG makefiles: the harness
+# must override it on the make command line (env CFLAGS would silently
+# lose, making the -O0 cross-check vacuous -- round-3 review finding).
+MAKEFILE = "CFLAGS = -O2\nall: p64\np64: p64.c\n\tcc $(CFLAGS) -o p64 p64.c\n"
 
 
 @pytest.mark.slow

@@ -61,9 +61,11 @@ def _build_one(ref: str, out: str, tag: str, cflags: str) -> str:
     if os.path.isdir(build):
         shutil.rmtree(build)
     shutil.copytree(ref, build)
-    env = dict(os.environ, CFLAGS=cflags)
-    r = subprocess.run(["make", "-C", build], capture_output=True, text=True,
-                       env=env)
+    # CFLAGS as a make command-line override: Makefile-internal
+    # `CFLAGS = ...` assignments silently win over the environment, which
+    # would make the O2-vs-O0 cross-check vacuous (round-3 review finding).
+    r = subprocess.run(["make", "-C", build, f"CFLAGS={cflags}"],
+                       capture_output=True, text=True)
     if r.returncode != 0:
         # PVRG makefiles sometimes need plain cc; try a direct compile
         srcs = sorted(glob.glob(os.path.join(build, "*.c")))
