@@ -12,6 +12,13 @@ exactly `frame_bits` bits.
 All sequential-looking dependencies of the MB layer (MBA gaps, the MVD
 predictor chain) are computed with per-GOB exclusive-cummax + gather tricks
 instead of scans, so the whole model is a handful of fused element-wise ops.
+
+Round-3 optimization record: a hand-fused Pallas kernel for
+quantize + block_bits (VMEM-resident through the whole chain) measured
+4.53 ms vs 1.27 ms for this XLA formulation on v5e (16-stream CIF, fori
+harness) -- XLA's own fusion of the pipeline is already near-optimal at
+these small 64-lane shapes, so the kernel was dropped.  Treat this module
+as at its local optimum; further encoder speed must come from elsewhere.
 """
 
 from __future__ import annotations
