@@ -29,15 +29,13 @@ from ..distrib import mesh as dm
 from ..io import yuv
 
 
-def encode_shard(cfg: enc.EncoderConfig,
-                 batch: Dict[str, np.ndarray]) -> List[Tuple[bytes, int]]:
-    """One sharded device dispatch over a contiguous shard of streams.
+def _dispatch_shard(cfg: enc.EncoderConfig, batch: Dict[str, np.ndarray]):
+    """Launch the sharded device encode for a contiguous shard of streams.
 
-    Returns per-stream (bytes, nbits).  Streams are independent, so any
-    sub-range of the batch produces byte-identical output to the same
-    streams inside a larger dispatch -- the property the retry logic in
-    encode_resilient relies on.
-    """
+    Returns (outputs, n): `outputs` are LAZY jax arrays (dispatch is
+    asynchronous), so the caller can overlap further device dispatches with
+    host serialization of earlier shards.  Device-side errors surface when
+    the outputs are forced (in serialize_streams)."""
     import jax
     import jax.numpy as jnp
 
@@ -53,6 +51,19 @@ def encode_shard(cfg: enc.EncoderConfig,
                                    for k, v in batch.items()})
     states = dm.shard_batch(mesh, dm.init_states(cfg, n + pad))
     _, outputs, _ = run(states, frames)
+    return outputs, n
+
+
+def encode_shard(cfg: enc.EncoderConfig,
+                 batch: Dict[str, np.ndarray]) -> List[Tuple[bytes, int]]:
+    """One sharded device dispatch over a contiguous shard of streams.
+
+    Returns per-stream (bytes, nbits).  Streams are independent, so any
+    sub-range of the batch produces byte-identical output to the same
+    streams inside a larger dispatch -- the property the retry logic in
+    encode_resilient relies on.
+    """
+    outputs, n = _dispatch_shard(cfg, batch)
     return dm.serialize_streams(cfg, outputs)[:n]
 
 
@@ -61,40 +72,69 @@ def encode_resilient(
         retries: int = 2,
         fail_hook: Optional[Callable[[int, int, int], None]] = None,
         log: Callable[[str], None] = lambda s: None,
+        chunk: int = 0,
 ) -> List[Optional[Tuple[bytes, int]]]:
     """Shard-level failure recovery (SURVEY section 5 "failure detection":
     per-shard re-dispatch is cheap because streams are independent).
 
-    Encodes streams [0, n) via encode_shard.  A failed dispatch (device
-    error, preemption, transient tunnel fault) is retried up to `retries`
-    times; if a range keeps failing it is bisected so one poison stream
-    cannot take down its neighbours.  Slots that still fail at width 1 are
-    returned as None.  fail_hook(start, stop, attempt) is a test-only fault
-    injector called before each dispatch; it raising == that dispatch
-    failing.
+    Encodes streams [0, n) via the sharded device encoder.  A failed
+    dispatch (device error, preemption, transient tunnel fault) is retried
+    up to `retries` times; if a range keeps failing it is bisected so one
+    poison stream cannot take down its neighbours.  Slots that still fail
+    at width 1 are returned as None.  fail_hook(start, stop, attempt) is a
+    test-only fault injector called before each dispatch; it raising ==
+    that dispatch failing.
+
+    chunk > 0 splits the batch into `chunk`-stream pieces and PIPELINES
+    them: device dispatch is asynchronous, so while the host serializes
+    chunk i the device already encodes chunk i+1 (SURVEY section 7 step 7
+    "overlap finalize"; round-3 measurement: host finalize is ~43% of
+    device time at 64 streams, so overlap hides most of it).  chunk == 0
+    keeps the single-dispatch behavior.
     """
     n = batch["y"].shape[0]
     results: List[Optional[Tuple[bytes, int]]] = [None] * n
-    work: List[Tuple[int, int, int]] = [(0, n, 0)]  # (start, stop, attempt)
-    while work:
-        s, e, att = work.pop()
+    if chunk > 0:
+        work = [(s, min(s + chunk, n), 0) for s in range(0, n, chunk)]
+        work.reverse()          # .pop() serves ranges in ascending order
+    else:
+        work = [(0, n, 0)]      # (start, stop, attempt)
+
+    def fail(s, e, att, exc):
+        if att < retries:
+            log(f"shard [{s},{e}) attempt {att} failed ({exc!r}); retrying")
+            work.append((s, e, att + 1))
+        elif e - s > 1:
+            mid = (s + e) // 2
+            log(f"shard [{s},{e}) failed {retries + 1} times; bisecting")
+            work.append((mid, e, 0))
+            work.append((s, mid, 0))
+        else:
+            log(f"stream {s} failed permanently: {exc!r}")
+
+    inflight: List[Tuple[int, int, int, object, int]] = []  # FIFO, depth 2
+
+    def drain_one():
+        s, e, att, outputs, n_sub = inflight.pop(0)
         try:
-            if fail_hook is not None:
-                fail_hook(s, e, att)
-            sub = {k: v[s:e] for k, v in batch.items()}
-            results[s:e] = encode_shard(cfg, sub)
-        except Exception as exc:  # noqa: BLE001 -- any dispatch fault
-            if att < retries:
-                log(f"shard [{s},{e}) attempt {att} failed ({exc!r}); "
-                    f"retrying")
-                work.append((s, e, att + 1))
-            elif e - s > 1:
-                mid = (s + e) // 2
-                log(f"shard [{s},{e}) failed {retries + 1} times; bisecting")
-                work.append((mid, e, 0))
-                work.append((s, mid, 0))
-            else:
-                log(f"stream {s} failed permanently: {exc!r}")
+            results[s:e] = dm.serialize_streams(cfg, outputs)[:n_sub]
+        except Exception as exc:  # noqa: BLE001 -- forced device fault
+            fail(s, e, att, exc)
+
+    while work or inflight:
+        while work and len(inflight) < 2:
+            s, e, att = work.pop()
+            try:
+                if fail_hook is not None:
+                    fail_hook(s, e, att)
+                sub = {k: v[s:e] for k, v in batch.items()}
+                outputs, n_sub = _dispatch_shard(cfg, sub)
+            except Exception as exc:  # noqa: BLE001 -- dispatch-time fault
+                fail(s, e, att, exc)
+                continue
+            inflight.append((s, e, att, outputs, n_sub))
+        if inflight:
+            drain_one()
     return results
 
 
@@ -109,6 +149,10 @@ def main(argv=None) -> int:
     ap.add_argument("--retries", type=int, default=2,
                     help="re-dispatch attempts per failed shard (then "
                          "bisect to isolate a poison stream)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="streams per pipelined chunk (0 = one dispatch); "
+                         "with chunking, host serialization of chunk i "
+                         "overlaps device encode of chunk i+1")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if not 0 <= args.search <= 15:
@@ -142,7 +186,7 @@ def main(argv=None) -> int:
     n = len(paths)
     t0 = time.time()
     streams = encode_resilient(
-        cfg, batch, retries=args.retries,
+        cfg, batch, retries=args.retries, chunk=args.chunk,
         log=lambda s: print(f"batch_encode: {s}", file=sys.stderr))
     dt = time.time() - t0
     os.makedirs(args.outdir, exist_ok=True)

@@ -131,6 +131,42 @@ def test_shard_retry_isolates_poison_stream():
             assert got[i] == want[i], i
 
 
+def test_pipelined_chunks_identical_and_resilient():
+    """chunk > 0 pipelines device dispatch with host serialize; output must
+    be byte-identical to the single-dispatch path, including under fault
+    injection + bisection within a chunk."""
+    from p64tpu.tools.batch_encode import encode_resilient, encode_shard
+
+    cfg = enc.EncoderConfig(fmt=QCIF, search=2,
+                            rate=RateConfig(fixed_quant=12))
+    n, t = 7, 2
+    frames = _frames(n, t)
+    batch = {k: np.asarray(v) for k, v in frames.items()}
+    want = encode_shard(cfg, batch)
+
+    got = encode_resilient(cfg, batch, chunk=3)
+    assert got == want
+
+    # transient fault on one mid chunk; recovery must be exact
+    def flaky(s, e, att):
+        if s == 3 and att == 0:
+            raise RuntimeError("injected chunk fault")
+
+    got = encode_resilient(cfg, batch, chunk=3, retries=2, fail_hook=flaky)
+    assert got == want
+
+    # poison stream inside a chunk: only that slot is lost
+    def poisoned(s, e, att):
+        if s <= 4 < e:
+            raise RuntimeError("injected poison stream")
+
+    got = encode_resilient(cfg, batch, chunk=3, retries=0,
+                           fail_hook=poisoned)
+    assert got[4] is None
+    assert [g for i, g in enumerate(got) if i != 4] == \
+        [w for i, w in enumerate(want) if i != 4]
+
+
 @pytest.mark.slow
 def test_sharded_production_shape():
     """Production-shape mesh smoke (VERDICT round-1 item 9): full +/-15
