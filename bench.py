@@ -98,9 +98,9 @@ def measure_decode(streams: int = 16, frames_t: int = 32, reps: int = 3,
     _enable_cache(jax)
     from p64tpu.control.ratecontrol import RateConfig
     from p64tpu.core import encoder as enc
-    from p64tpu.core.decoder import (_decode_scan, frames_to_tensors,
-                                     parse_many)
+    from p64tpu.core.decoder import _decode_scan, parse_to_tensors
     from p64tpu.spec.constants import CIF
+    from p64tpu.utils import fan_map
 
     fmt = CIF
     cfg = enc.EncoderConfig(fmt=fmt, search=15,
@@ -123,17 +123,20 @@ def measure_decode(streams: int = 16, frames_t: int = 32, reps: int = 3,
     total_bytes = sum(len(d) for d in datas)
     n_mb = streams * frames_t * fmt.num_mbs
 
-    # host parse (C++ engine, thread-fanned), all streams, best of reps
+    # host parse (C++ engine, thread-fanned, direct-to-tensor), all
+    # streams, best of reps
+    from p64tpu.native import load
+    load()
     parse_best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        parsed = parse_many(datas)
+        parsed = fan_map(parse_to_tensors, datas)
         parse_best = min(parse_best, time.time() - t0)
-    assert all(len(p) == frames_t for p in parsed)
+    assert all(s["levels"].shape[0] == frames_t for _, _, s in parsed)
 
     # device reconstruct: vmapped scan over streams
-    seqs = [frames_to_tensors(p) for p in parsed]
-    batch = {k: jnp.stack([s[k] for s in seqs]) for k in seqs[0]}
+    batch = {k: jnp.stack([s[k] for _, _, s in parsed])
+             for k in parsed[0][2]}
 
     @jax.jit
     def drun(batch):

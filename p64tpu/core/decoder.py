@@ -75,6 +75,26 @@ def parse_any(data: bytes) -> List[ParsedFrame]:
     return parse_stream(data)
 
 
+def parse_to_tensors(data: bytes):
+    """Parse one single-format stream straight to the stacked (T, ...)
+    tensors `_decode_scan` consumes, skipping per-frame ParsedFrame
+    objects (the hot batched-decode path; see binding.parse_tensors).
+
+    Returns (fmt, tr (T,) np.ndarray, seq dict).  Falls back to the Python
+    parser when the native engine is unavailable.
+    """
+    from ..native import load
+    native = load()
+    if native is not None:
+        return native.parse_tensors(data)
+    frames = parse_stream(data)
+    fmt = frames[0].fmt
+    if any(f.fmt is not fmt for f in frames):
+        raise ValueError("mixed picture formats in one sequence")
+    seq = {k: np.asarray(v) for k, v in frames_to_tensors(frames).items()}
+    return fmt, np.asarray([f.tr for f in frames]), seq
+
+
 def parse_many(datas: List[bytes]) -> List[List[ParsedFrame]]:
     """Parse multiple independent streams, fanning across a thread pool
     (see utils.fan_map -- the ctypes C++ parse releases the GIL).

@@ -160,6 +160,68 @@ class NativeBitIO:
 
     # -- parse -------------------------------------------------------------
 
+    def parse_tensors(self, data: bytes, max_frames: int = 65536):
+        """Parse a single-format stream straight into stacked arrays.
+
+        Returns (fmt, tr (n,), seq) where seq has the (n, ...) tensors the
+        batched device reconstruction consumes (levels/quant/intra/mv/fil,
+        with intra/fil already masked by coded).  Skips the per-frame
+        ParsedFrame construction, which dominated host parse time for long
+        sequences (round-3 decode bench).  Raises on mixed CIF/QCIF.
+
+        Output buffers grow adaptively (64 frames, then 4x on overflow up
+        to max_frames): allocating 4096-frame buffers up front measured
+        ~4 ms per call -- several times the actual parse for short
+        streams.
+        """
+        from ..entropy.parse import StreamError
+        buf = np.frombuffer(data, np.uint8)
+        mf = 64
+        while True:
+            out_fmt = np.zeros(mf, np.int32)
+            out_tr = np.zeros(mf, np.int32)
+            out_gq = np.zeros((mf, 12), np.int32)
+            out_coded = np.zeros((mf, 396), np.uint8)
+            out_intra = np.zeros((mf, 396), np.uint8)
+            out_mc = np.zeros((mf, 396), np.uint8)
+            out_fil = np.zeros((mf, 396), np.uint8)
+            out_quant = np.zeros((mf, 396), np.int32)
+            out_mv = np.zeros((mf, 396, 2), np.int32)
+            out_cbp = np.zeros((mf, 396), np.int32)
+            out_levels = np.zeros((mf, 396, 6, 64), np.int16)
+            errpos = C.c_int64(0)
+            n = self._lib.p64_parse(
+                C.byref(self._dec_t), _ptr(buf), C.c_int64(len(data)),
+                C.c_int64(mf), _ptr(self._perm_cif), _ptr(self._perm_qcif),
+                _ptr(out_fmt), _ptr(out_tr), _ptr(out_gq), _ptr(out_coded),
+                _ptr(out_intra), _ptr(out_mc), _ptr(out_fil),
+                _ptr(out_quant), _ptr(out_mv), _ptr(out_cbp),
+                _ptr(out_levels), C.byref(errpos))
+            if n == -5 and mf < max_frames:     # P64_ERR_MAXFRAMES
+                mf = min(mf * 4, max_frames)
+                continue
+            break
+        if n < 0:
+            raise StreamError(f"native parse error {n} at bit {errpos.value}")
+        if n == 0:
+            raise StreamError("empty stream")
+        if not (out_fmt[:n] == out_fmt[0]).all():
+            raise StreamError("mixed picture formats in one sequence")
+        fmt = CIF if out_fmt[0] else QCIF
+        m = fmt.num_mbs
+        coded = out_coded[:n, :m] != 0
+        seq = dict(
+            # levels stay int16 VIEWS -- the device casts during dequant;
+            # an eager astype(int32) here would densify ~20 MB per 32-frame
+            # CIF stream of mostly-zero data (measured 4x parse slowdown)
+            levels=out_levels[:n, :m],
+            quant=out_quant[:n, :m],
+            intra=(out_intra[:n, :m] != 0) & coded,
+            mv=out_mv[:n, :m],
+            fil=(out_fil[:n, :m] != 0) & coded,
+        )
+        return fmt, out_tr[:n].copy(), seq
+
     def parse(self, data: bytes, max_frames: int = 4096):
         """Returns list of entropy.parse.ParsedFrame (same contract as the
         Python parser)."""
@@ -190,17 +252,24 @@ class NativeBitIO:
         for f in range(n):
             fmt = CIF if out_fmt[f] else QCIF
             m = fmt.num_mbs
+            # levels/mv/etc are VIEWS into the per-call output buffers, not
+            # copies: sparse streams made the per-frame 304 KB levels copy
+            # the decode path's single largest host cost (round-3 decode
+            # bench: ~60 of 112 ms for 512 CIF frames).  The buffers are
+            # calloc-backed, so untouched frames cost no resident memory,
+            # and each call allocates fresh buffers (no cross-call
+            # aliasing); rows are disjoint across frames.
             frames.append(ParsedFrame(
                 tr=int(out_tr[f]), fmt=fmt,
-                gquant=out_gq[f, :fmt.num_gobs].copy(),
+                gquant=out_gq[f, :fmt.num_gobs],
                 coded=out_coded[f, :m].astype(bool),
                 intra=out_intra[f, :m].astype(bool),
                 mc=out_mc[f, :m].astype(bool),
                 fil=out_fil[f, :m].astype(bool),
-                quant=out_quant[f, :m].copy(),
-                mv=out_mv[f, :m].copy(),
-                cbp=out_cbp[f, :m].copy(),
-                levels=out_levels[f, :m].copy()))
+                quant=out_quant[f, :m],
+                mv=out_mv[f, :m],
+                cbp=out_cbp[f, :m],
+                levels=out_levels[f, :m]))
         return frames
 
 

@@ -239,6 +239,19 @@ struct BitReader {
 };
 
 static inline uint32_t br_peek(const BitReader* r, int n) {
+  // fast path: load 8 big-endian bytes and shift (n <= 24 always; 24 bits
+  // + 7 offset bits = 31 < 64).  ~8x fewer ops than the bit loop; the
+  // parser spends most of its time here.
+  int64_t byte = r->pos >> 3;
+  int off = (int)(r->pos & 7);
+  if ((byte + 8) * 8 <= ((r->nbits + 7) & ~7LL)) {
+    const uint8_t* b = r->buf + byte;
+    uint64_t v = ((uint64_t)b[0] << 56) | ((uint64_t)b[1] << 48) |
+                 ((uint64_t)b[2] << 40) | ((uint64_t)b[3] << 32) |
+                 ((uint64_t)b[4] << 24) | ((uint64_t)b[5] << 16) |
+                 ((uint64_t)b[6] << 8) | (uint64_t)b[7];
+    return (uint32_t)((v << off) >> (64 - n));
+  }
   uint32_t v = 0;
   int64_t p = r->pos;
   for (int i = 0; i < n; ++i, ++p) {

@@ -112,3 +112,23 @@ def test_parse_many_matches_serial():
             np.testing.assert_array_equal(a.levels, b.levels)
             np.testing.assert_array_equal(a.coded, b.coded)
             np.testing.assert_array_equal(a.mv, b.mv)
+
+
+def test_parse_tensors_matches_framewise():
+    """Direct-to-tensor parse must equal the ParsedFrame path exactly."""
+    from p64tpu.core.decoder import frames_to_tensors, parse_to_tensors
+
+    rng = np.random.default_rng(41)
+    for fmt in (QCIF, CIF):
+        frames = [random_frame_symbols(fmt, rng, tr=t) for t in range(3)]
+        data, _ = encode.serialize_sequence(fmt, frames)
+        got_fmt, got_tr, got = parse_to_tensors(data)
+        want_frames = parse.parse_stream(data)
+        want = {k: np.asarray(v)
+                for k, v in frames_to_tensors(want_frames).items()}
+        assert got_fmt is fmt
+        np.testing.assert_array_equal(got_tr,
+                                      [f.tr for f in want_frames])
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), want[k],
+                                          err_msg=k)
