@@ -83,6 +83,7 @@ def parse_to_tensors(data: bytes):
     Returns (fmt, tr (T,) np.ndarray, seq dict).  Falls back to the Python
     parser when the native engine is unavailable.
     """
+    from ..entropy.parse import StreamError
     from ..native import load
     native = load()
     if native is not None:
@@ -90,9 +91,17 @@ def parse_to_tensors(data: bytes):
     frames = parse_stream(data)
     fmt = frames[0].fmt
     if any(f.fmt is not fmt for f in frames):
-        raise ValueError("mixed picture formats in one sequence")
-    seq = {k: np.asarray(v) for k, v in frames_to_tensors(frames).items()}
-    return fmt, np.asarray([f.tr for f in frames]), seq
+        # same error contract as the native path
+        raise StreamError("mixed picture formats in one sequence")
+    # dtypes match binding.parse_tensors (levels int16, tr int32)
+    seq = dict(
+        levels=np.stack([f.levels for f in frames]),
+        quant=np.stack([f.quant for f in frames]).astype(np.int32),
+        intra=np.stack([f.intra & f.coded for f in frames]),
+        mv=np.stack([f.mv for f in frames]).astype(np.int32),
+        fil=np.stack([f.fil & f.coded for f in frames]),
+    )
+    return fmt, np.asarray([f.tr for f in frames], np.int32), seq
 
 
 def parse_many(datas: List[bytes]) -> List[List[ParsedFrame]]:

@@ -160,6 +160,42 @@ class NativeBitIO:
 
     # -- parse -------------------------------------------------------------
 
+    _RAW_FIELDS = (("fmt", (), np.int32), ("tr", (), np.int32),
+                   ("gq", (12,), np.int32), ("coded", (396,), np.uint8),
+                   ("intra", (396,), np.uint8), ("mc", (396,), np.uint8),
+                   ("fil", (396,), np.uint8), ("quant", (396,), np.int32),
+                   ("mv", (396, 2), np.int32), ("cbp", (396,), np.int32),
+                   ("levels", (396, 6, 64), np.int16))
+
+    def _raw_parse(self, data: bytes, max_frames: int):
+        """Invoke p64_parse with adaptively-grown output buffers.
+
+        Starts at min(64, max_frames) frames and grows 4x on overflow --
+        eagerly allocating 4096-frame buffers measured ~4 ms per call,
+        several times the parse itself for short streams.  Returns
+        (n, buffers dict); raises StreamError on parse errors.  Single
+        owner of the p64_parse argument-order contract.
+        """
+        from ..entropy.parse import StreamError
+        buf = np.frombuffer(data, np.uint8)
+        mf = min(64, max_frames)
+        while True:
+            out = {name: np.zeros((mf,) + shape, dt)
+                   for name, shape, dt in self._RAW_FIELDS}
+            errpos = C.c_int64(0)
+            n = self._lib.p64_parse(
+                C.byref(self._dec_t), _ptr(buf), C.c_int64(len(data)),
+                C.c_int64(mf), _ptr(self._perm_cif), _ptr(self._perm_qcif),
+                *[_ptr(out[name]) for name, _, _ in self._RAW_FIELDS],
+                C.byref(errpos))
+            if n == -5 and mf < max_frames:     # P64_ERR_MAXFRAMES
+                mf = min(mf * 4, max_frames)
+                continue
+            break
+        if n < 0:
+            raise StreamError(f"native parse error {n} at bit {errpos.value}")
+        return n, out
+
     def parse_tensors(self, data: bytes, max_frames: int = 65536):
         """Parse a single-format stream straight into stacked arrays.
 
@@ -167,87 +203,44 @@ class NativeBitIO:
         batched device reconstruction consumes (levels/quant/intra/mv/fil,
         with intra/fil already masked by coded).  Skips the per-frame
         ParsedFrame construction, which dominated host parse time for long
-        sequences (round-3 decode bench).  Raises on mixed CIF/QCIF.
-
-        Output buffers grow adaptively (64 frames, then 4x on overflow up
-        to max_frames): allocating 4096-frame buffers up front measured
-        ~4 ms per call -- several times the actual parse for short
-        streams.
+        sequences (round-3 decode bench).  Raises StreamError on mixed
+        CIF/QCIF.
         """
         from ..entropy.parse import StreamError
-        buf = np.frombuffer(data, np.uint8)
-        mf = 64
-        while True:
-            out_fmt = np.zeros(mf, np.int32)
-            out_tr = np.zeros(mf, np.int32)
-            out_gq = np.zeros((mf, 12), np.int32)
-            out_coded = np.zeros((mf, 396), np.uint8)
-            out_intra = np.zeros((mf, 396), np.uint8)
-            out_mc = np.zeros((mf, 396), np.uint8)
-            out_fil = np.zeros((mf, 396), np.uint8)
-            out_quant = np.zeros((mf, 396), np.int32)
-            out_mv = np.zeros((mf, 396, 2), np.int32)
-            out_cbp = np.zeros((mf, 396), np.int32)
-            out_levels = np.zeros((mf, 396, 6, 64), np.int16)
-            errpos = C.c_int64(0)
-            n = self._lib.p64_parse(
-                C.byref(self._dec_t), _ptr(buf), C.c_int64(len(data)),
-                C.c_int64(mf), _ptr(self._perm_cif), _ptr(self._perm_qcif),
-                _ptr(out_fmt), _ptr(out_tr), _ptr(out_gq), _ptr(out_coded),
-                _ptr(out_intra), _ptr(out_mc), _ptr(out_fil),
-                _ptr(out_quant), _ptr(out_mv), _ptr(out_cbp),
-                _ptr(out_levels), C.byref(errpos))
-            if n == -5 and mf < max_frames:     # P64_ERR_MAXFRAMES
-                mf = min(mf * 4, max_frames)
-                continue
-            break
-        if n < 0:
-            raise StreamError(f"native parse error {n} at bit {errpos.value}")
+        n, out = self._raw_parse(data, max_frames)
         if n == 0:
             raise StreamError("empty stream")
-        if not (out_fmt[:n] == out_fmt[0]).all():
+        if not (out["fmt"][:n] == out["fmt"][0]).all():
             raise StreamError("mixed picture formats in one sequence")
-        fmt = CIF if out_fmt[0] else QCIF
+        fmt = CIF if out["fmt"][0] else QCIF
         m = fmt.num_mbs
-        coded = out_coded[:n, :m] != 0
+        coded = out["coded"][:n, :m] != 0
         seq = dict(
             # levels stay int16 VIEWS -- the device casts during dequant;
             # an eager astype(int32) here would densify ~20 MB per 32-frame
             # CIF stream of mostly-zero data (measured 4x parse slowdown)
-            levels=out_levels[:n, :m],
-            quant=out_quant[:n, :m],
-            intra=(out_intra[:n, :m] != 0) & coded,
-            mv=out_mv[:n, :m],
-            fil=(out_fil[:n, :m] != 0) & coded,
+            levels=out["levels"][:n, :m],
+            quant=out["quant"][:n, :m],
+            intra=(out["intra"][:n, :m] != 0) & coded,
+            mv=out["mv"][:n, :m],
+            fil=(out["fil"][:n, :m] != 0) & coded,
         )
-        return fmt, out_tr[:n].copy(), seq
+        return fmt, out["tr"][:n].copy(), seq
 
-    def parse(self, data: bytes, max_frames: int = 4096):
+    def parse(self, data: bytes, max_frames: int = 65536):
         """Returns list of entropy.parse.ParsedFrame (same contract as the
-        Python parser)."""
-        from ..entropy.parse import ParsedFrame, StreamError
-        buf = np.frombuffer(data, np.uint8)
-        mf = max_frames
-        out_fmt = np.zeros(mf, np.int32)
-        out_tr = np.zeros(mf, np.int32)
-        out_gq = np.zeros((mf, 12), np.int32)
-        out_coded = np.zeros((mf, 396), np.uint8)
-        out_intra = np.zeros((mf, 396), np.uint8)
-        out_mc = np.zeros((mf, 396), np.uint8)
-        out_fil = np.zeros((mf, 396), np.uint8)
-        out_quant = np.zeros((mf, 396), np.int32)
-        out_mv = np.zeros((mf, 396, 2), np.int32)
-        out_cbp = np.zeros((mf, 396), np.int32)
-        out_levels = np.zeros((mf, 396, 6, 64), np.int16)
-        errpos = C.c_int64(0)
-        n = self._lib.p64_parse(
-            C.byref(self._dec_t), _ptr(buf), C.c_int64(len(data)),
-            C.c_int64(mf), _ptr(self._perm_cif), _ptr(self._perm_qcif),
-            _ptr(out_fmt), _ptr(out_tr), _ptr(out_gq), _ptr(out_coded),
-            _ptr(out_intra), _ptr(out_mc), _ptr(out_fil), _ptr(out_quant),
-            _ptr(out_mv), _ptr(out_cbp), _ptr(out_levels), C.byref(errpos))
-        if n < 0:
-            raise StreamError(f"native parse error {n} at bit {errpos.value}")
+        Python parser).
+
+        Memory note: the frames' arrays are VIEWS into per-call output
+        buffers (adaptively sized to <= 4x the parsed frame count), so
+        retaining any single frame keeps the whole call's buffers alive --
+        copy a frame's arrays if you keep it long-term while discarding
+        the rest."""
+        from ..entropy.parse import ParsedFrame
+        n, out = self._raw_parse(data, max_frames)
+        (out_fmt, out_tr, out_gq, out_coded, out_intra, out_mc, out_fil,
+         out_quant, out_mv, out_cbp, out_levels) = (
+            out[name] for name, _, _ in self._RAW_FIELDS)
         frames = []
         for f in range(n):
             fmt = CIF if out_fmt[f] else QCIF

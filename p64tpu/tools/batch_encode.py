@@ -29,6 +29,13 @@ from ..distrib import mesh as dm
 from ..io import yuv
 
 
+#: compiled sharded encoders keyed on (cfg, n_dev): a fresh jax.jit per
+#: chunk would re-trace/re-compile every dispatch and defeat the pipelined
+#: overlap entirely (round-3 review finding); one cached jit object serves
+#: all chunks (equal-shape chunks hit its compilation cache).
+_ENCODER_CACHE: Dict[Tuple, object] = {}
+
+
 def _dispatch_shard(cfg: enc.EncoderConfig, batch: Dict[str, np.ndarray]):
     """Launch the sharded device encode for a contiguous shard of streams.
 
@@ -45,8 +52,11 @@ def _dispatch_shard(cfg: enc.EncoderConfig, batch: Dict[str, np.ndarray]):
     if pad:
         batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                  for k, v in batch.items()}
-    mesh = dm.make_mesh(n_dev)
-    run = dm.make_sharded_encoder(cfg, mesh)
+    key = (cfg, n_dev)
+    if key not in _ENCODER_CACHE:
+        mesh = dm.make_mesh(n_dev)
+        _ENCODER_CACHE[key] = (mesh, dm.make_sharded_encoder(cfg, mesh))
+    mesh, run = _ENCODER_CACHE[key]
     frames = dm.shard_batch(mesh, {k: jnp.asarray(v)
                                    for k, v in batch.items()})
     states = dm.shard_batch(mesh, dm.init_states(cfg, n + pad))
@@ -91,6 +101,14 @@ def encode_resilient(
     "overlap finalize"; round-3 measurement: host finalize is ~43% of
     device time at 64 streams, so overlap hides most of it).  chunk == 0
     keeps the single-dispatch behavior.
+
+    Fault-attribution caveat under pipelining: JAX defers device errors to
+    the next sync point, so a fault raised by chunk i's computation can
+    surface while forcing chunk i+1's outputs, charging a retry to the
+    healthy neighbour.  Recovery still converges (both ranges re-dispatch,
+    and re-dispatching a healthy range is byte-exact), but logs may
+    misattribute the first failure and the retry budget is approximate
+    across in-flight neighbours.
     """
     n = batch["y"].shape[0]
     results: List[Optional[Tuple[bytes, int]]] = [None] * n
@@ -155,6 +173,15 @@ def main(argv=None) -> int:
                          "overlaps device encode of chunk i+1")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
+    # persistent compile cache (same as bench.py): chunked runs re-enter
+    # jit across processes; cache hits make repeat invocations cheap
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("P64_JAX_CACHE", "/tmp/jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if not 0 <= args.search <= 15:
         print(f"-i/--search must be 0..15 (H.261 MV range), got "
               f"{args.search}", file=sys.stderr)
