@@ -132,3 +132,26 @@ def test_parse_tensors_matches_framewise():
         for k in want:
             np.testing.assert_array_equal(np.asarray(got[k]), want[k],
                                           err_msg=k)
+
+
+def test_parse_adaptive_buffer_growth():
+    """Streams longer than the initial 64-frame buffer must trigger the
+    4x adaptive regrowth (P64_ERR_MAXFRAMES retry) in both parse paths."""
+    from p64tpu.core.decoder import parse_to_tensors
+
+    rng = np.random.default_rng(51)
+    frames = [random_frame_symbols(QCIF, rng, tr=t % 32, p_coded=0.1)
+              for t in range(70)]
+    data, _ = encode.serialize_sequence(QCIF, frames)
+    got = native.parse(data)
+    assert len(got) == 70
+    want = parse.parse_stream(data)
+    np.testing.assert_array_equal(got[69].levels, want[69].levels)
+    fmt, tr, seq = parse_to_tensors(data)
+    assert fmt is QCIF and seq["levels"].shape[0] == 70
+    np.testing.assert_array_equal(np.asarray(seq["levels"][69]),
+                                  want[69].levels)
+    # explicit small cap is honored
+    from p64tpu.entropy.parse import StreamError
+    with pytest.raises(StreamError):
+        native.parse_tensors(data, max_frames=8)
