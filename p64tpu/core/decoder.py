@@ -65,6 +65,19 @@ def decode_frames(frames: List[ParsedFrame], init=None):
     return y, cb, cr
 
 
+def decode_seq(fmt: Format, seq) -> Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray]:
+    """Reconstruct planes from a parse_to_tensors seq dict (the hot
+    batched path -- no per-frame objects).  Returns uint8 (T, ...) arrays.
+    """
+    init = (jnp.zeros((fmt.height, fmt.width), jnp.uint8),
+            jnp.zeros((fmt.chroma_height, fmt.chroma_width), jnp.uint8),
+            jnp.zeros((fmt.chroma_height, fmt.chroma_width), jnp.uint8))
+    _, (y, cb, cr) = _decode_scan(
+        fmt, {k: jnp.asarray(v) for k, v in seq.items()}, *init)
+    return np.asarray(y), np.asarray(cb), np.asarray(cr)
+
+
 def parse_any(data: bytes) -> List[ParsedFrame]:
     """Parse with the C++ engine when available (identical contract to the
     Python oracle -- tests/test_native.py), else pure Python."""

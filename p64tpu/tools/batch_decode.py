@@ -1,0 +1,73 @@
+"""Multi-stream batch decoder: the decode-side mirror of batch_encode.
+
+  python -m p64tpu.tools.batch_decode -o outdir a.p64 b.p64 ...
+
+Host VLC parse fans across threads straight into stacked symbol tensors
+(core.decoder.parse_to_tensors); reconstruction runs as the jitted device
+scan per stream (shapes are cached, so equal-length streams compile once).
+One .y4m per input is written to outdir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+from typing import List
+
+from ..core.decoder import decode_seq, parse_to_tensors
+from ..entropy.parse import StreamError
+from ..io import yuv
+from ..utils import fan_map
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="p64tpu.tools.batch_decode")
+    ap.add_argument("inputs", nargs="+", help="input .p64 files or globs")
+    ap.add_argument("-o", "--outdir", required=True)
+    ap.add_argument("-f", "--frame-rate", type=int, default=30,
+                    help="frame rate stamped into the .y4m headers")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    paths: List[str] = []
+    for pat in args.inputs:
+        hits = sorted(glob.glob(pat))
+        paths.extend(hits if hits else [pat])
+    if not paths:
+        print("no inputs", file=sys.stderr)
+        return 1
+
+    datas = [open(p, "rb").read() for p in paths]
+    t0 = time.time()
+    try:
+        parsed = fan_map(parse_to_tensors, datas)
+    except (StreamError, ValueError) as e:
+        print(f"batch_decode: invalid H.261 stream: {e}", file=sys.stderr)
+        return 1
+    t_parse = time.time() - t0
+
+    os.makedirs(args.outdir, exist_ok=True)
+    t0 = time.time()
+    n_frames = 0
+    for path, (fmt, tr, seq) in zip(paths, parsed):
+        y, cb, cr = decode_seq(fmt, seq)
+        n_frames += y.shape[0]
+        out = os.path.join(
+            args.outdir,
+            os.path.splitext(os.path.basename(path))[0] + ".y4m")
+        yuv.write_y4m(out, dict(y=y, cb=cb, cr=cr), (args.frame_rate, 1))
+        if args.verbose:
+            print(f"{out}: {y.shape[0]} frames {fmt.name}", file=sys.stderr)
+    t_dev = time.time() - t0
+    if args.verbose:
+        print(f"{len(paths)} streams, {n_frames} frames: parse "
+              f"{t_parse * 1e3:.0f} ms, decode+write {t_dev * 1e3:.0f} ms",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

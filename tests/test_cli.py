@@ -89,3 +89,43 @@ def test_cli_decode_psnr_vs_source(tmp_path, capsys):
     assert main(["-d", "-s", str(stream), "-o", str(dec), str(inp)]) == 0
     out = capsys.readouterr().out
     assert "sequence Y PSNR" in out and "dB" in out
+
+
+def test_batch_decode_roundtrip(tmp_path):
+    """batch_decode mirrors batch_encode: encode N streams, batch-decode
+    them, outputs must equal the encoder's reconstruction."""
+    import numpy as np
+
+    from p64tpu.control.ratecontrol import RateConfig
+    from p64tpu.core import encoder as enc
+    from p64tpu.io.yuv import read_y4m
+    from p64tpu.spec.constants import QCIF
+    from p64tpu.tools.batch_decode import main as bd_main
+
+    rng = np.random.default_rng(61)
+    import jax.numpy as jnp
+    outs = []
+    for s in range(3):
+        y = (rng.integers(0, 256, (2, 144, 176)) // 2 + 32).astype(np.uint8)
+        frames = dict(
+            y=jnp.asarray(y),
+            cb=jnp.asarray((y[:, ::2, ::2] // 2 + 64).astype(np.uint8)),
+            cr=jnp.asarray((255 - y[:, 1::2, ::2] // 2).astype(np.uint8)))
+        cfg = enc.EncoderConfig(fmt=QCIF,
+                                rate=RateConfig(fixed_quant=10))
+        data, _, state = enc.encode_to_bytes(cfg, frames)
+        p = tmp_path / f"s{s}.p64"
+        p.write_bytes(data)
+        outs.append((p, np.asarray(state["ref_y"])))
+
+    rc = bd_main([str(p) for p, _ in outs]
+                 + ["-o", str(tmp_path / "dec")])
+    assert rc == 0
+    for p, want_last_y in outs:
+        d, _ = read_y4m(str(tmp_path / "dec" / (p.stem + ".y4m")))
+        np.testing.assert_array_equal(d["y"][-1], want_last_y)
+
+    # error path: garbage input
+    bad = tmp_path / "bad.p64"
+    bad.write_bytes(b"\xff" * 64)
+    assert bd_main([str(bad), "-o", str(tmp_path / "dec2")]) == 1
