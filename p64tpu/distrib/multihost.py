@@ -97,11 +97,17 @@ def _local_shard(x) -> np.ndarray:
         # duplicate starts are only safe when FULLY replicated (every shard
         # spans the identical range) -- a partially-replicated layout would
         # silently drop streams if we just took shards[0]
-        assert len(set(starts)) == 1 and len(set(stops)) == 1, \
-            f"_local_shard: mixed/partial replication {list(zip(starts, stops))}"
+        if not (len(set(starts)) == 1 and len(set(stops)) == 1):
+            # data-integrity check: must survive `python -O` (a silent
+            # drop/duplicate of streams is worse than a crash)
+            raise ValueError(
+                f"_local_shard: mixed/partial replication "
+                f"{list(zip(starts, stops))}")
         return np.asarray(shards[0].data)
-    assert all(stops[i] <= starts[i + 1] for i in range(len(starts) - 1)), \
-        f"_local_shard expects disjoint axis-0 shards, got {list(zip(starts, stops))}"
+    if not all(stops[i] <= starts[i + 1] for i in range(len(starts) - 1)):
+        raise ValueError(
+            f"_local_shard expects disjoint axis-0 shards, got "
+            f"{list(zip(starts, stops))}")
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

@@ -6,8 +6,9 @@ all reconstruction math batched.  This module is the portable/oracle parser;
 p64tpu/native provides a C++ parser with the identical output contract for
 the high-throughput path.
 
-Accepts any compliant H.261 stream within CIF/QCIF (including MQUANT and
-MBA stuffing, which our encoder never emits), per SURVEY section 7 step 3:
+Accepts any compliant H.261 stream within CIF/QCIF, including mid-GOB
+MQUANT and MBA stuffing (our encoder emits stuffing too, for minimum-rate
+fill -- RateConfig.min_rate_fill), per SURVEY section 7 step 3:
 decoding *foreign* streams is the ground-truth path once the reference
 mount appears.
 """

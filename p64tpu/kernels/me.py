@@ -54,39 +54,6 @@ def _validity_mask(h, w, n_mb, mb_cols, search):
             & (x0[None, :] + ox >= 0) & (x0[None, :] + ox + MB_SIZE <= w))
 
 
-def sad_map_static(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
-                   search: int = DEFAULT_SEARCH_RANGE) -> jnp.ndarray:
-    """Gather-free SAD map: every (dy, dx) shift is a STATIC slice of the
-    padded reference, so XLA lowers the whole sweep to cheap strided loads
-    + fused elementwise + reductions (no gather engines).  This is the
-    production XLA path; `sad_map` (dynamic-slice based) is the simple
-    reference implementation.
-
-    Identical output contract to `sad_map` (tested)."""
-    h, w = cur_y.shape
-    mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
-    n_mb = mb_rows * mb_cols
-    side = 2 * search + 1
-    cur = cur_y.astype(jnp.int16)
-    ref_pad = jnp.pad(ref_y.astype(jnp.int16), search)
-
-    rows = []
-    for dy in range(side):
-        strip = ref_pad[dy:dy + h, :]
-        per_dx = []
-        for dx in range(side):
-            ad = jnp.abs(cur - strip[:, dx:dx + w]).astype(jnp.int32)
-            s = ad.reshape(mb_rows, MB_SIZE, mb_cols, MB_SIZE).sum(
-                axis=(1, 3))
-            per_dx.append(s.reshape(n_mb))
-        rows.append(jnp.stack(per_dx))
-    sads = jnp.concatenate(rows, axis=0)          # (side*side, nMB)
-
-    valid = _validity_mask(h, w, n_mb, mb_cols, search)
-    big = jnp.int32(1 << 30)
-    return jnp.where(valid, sads, big)
-
-
 def sad_map_shifted(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
                     search: int = DEFAULT_SEARCH_RANGE) -> jnp.ndarray:
     """TPU-layout-aware SAD map (production path).
@@ -98,6 +65,11 @@ def sad_map_shifted(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     the dy sweep then works on lane-ALIGNED tensors only, as one big
     (2s+1)-batched elementwise+reduce per dy.  ~10x faster than the
     dynamic-slice formulation on v5e; bit-identical output (tested).
+
+    History: an earlier fully-unrolled static-slice formulation
+    (`sad_map_static`, 961 scalar-sliced abs-diff/reshape-sum passes) was
+    superseded by this MXU-pooling version and deleted in round 4 (it had
+    no caller and no test -- repo policy: no unreferenced device paths).
     """
     h, w = cur_y.shape
     mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE

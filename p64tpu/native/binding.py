@@ -227,17 +227,23 @@ class NativeBitIO:
         )
         return fmt, out["tr"][:n].copy(), seq
 
-    def parse(self, data: bytes, max_frames: int = 65536):
+    def parse(self, data: bytes, max_frames: int = 65536,
+              copy: bool = False):
         """Returns list of entropy.parse.ParsedFrame (same contract as the
         Python parser).
 
-        Memory note: the frames' arrays are VIEWS into per-call output
-        buffers (adaptively sized to <= 4x the parsed frame count), so
-        retaining any single frame keeps the whole call's buffers alive --
-        copy a frame's arrays if you keep it long-term while discarding
-        the rest."""
+        Memory note: by default the frames' arrays are VIEWS into per-call
+        output buffers (adaptively sized to <= 4x the parsed frame count),
+        so retaining any single frame keeps the whole call's buffers alive.
+        Pass copy=True to get independent per-frame arrays if you retain
+        individual frames long-term (costs the per-frame copies the view
+        path exists to avoid -- round-3 decode bench: ~60 of 112 ms for
+        512 CIF frames)."""
         from ..entropy.parse import ParsedFrame
         n, out = self._raw_parse(data, max_frames)
+        # copy=True compacts each frame's row-slices (NOT the whole 4x
+        # overshoot buffers) so retained frames are independent.
+        c = (lambda a: a.copy()) if copy else (lambda a: a)
         (out_fmt, out_tr, out_gq, out_coded, out_intra, out_mc, out_fil,
          out_quant, out_mv, out_cbp, out_levels) = (
             out[name] for name, _, _ in self._RAW_FIELDS)
@@ -254,15 +260,15 @@ class NativeBitIO:
             # aliasing); rows are disjoint across frames.
             frames.append(ParsedFrame(
                 tr=int(out_tr[f]), fmt=fmt,
-                gquant=out_gq[f, :fmt.num_gobs],
+                gquant=c(out_gq[f, :fmt.num_gobs]),
                 coded=out_coded[f, :m].astype(bool),
                 intra=out_intra[f, :m].astype(bool),
                 mc=out_mc[f, :m].astype(bool),
                 fil=out_fil[f, :m].astype(bool),
-                quant=out_quant[f, :m],
-                mv=out_mv[f, :m],
-                cbp=out_cbp[f, :m],
-                levels=out_levels[f, :m]))
+                quant=c(out_quant[f, :m]),
+                mv=c(out_mv[f, :m]),
+                cbp=c(out_cbp[f, :m]),
+                levels=c(out_levels[f, :m])))
         return frames
 
 

@@ -33,6 +33,10 @@ from ..io import yuv
 #: chunk would re-trace/re-compile every dispatch and defeat the pipelined
 #: overlap entirely (round-3 review finding); one cached jit object serves
 #: all chunks (equal-shape chunks hit its compilation cache).
+#: Lifetime: process-long and unbounded BY DESIGN -- the CLI uses exactly
+#: one (cfg, n_dev) key, and an entry pins its mesh + compiled executables,
+#: so evicting and re-adding one would cost a retrace.  Library callers
+#: cycling through many distinct configs should clear() between phases.
 _ENCODER_CACHE: Dict[Tuple, object] = {}
 
 

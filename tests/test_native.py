@@ -78,6 +78,22 @@ def test_serialize_stuffing_matches_python():
         np.testing.assert_array_equal(x.levels, y.levels)
 
 
+def test_parse_copy_gives_independent_frames():
+    """copy=True returns arrays that own their data (no view into the
+    call's 4x-overshoot buffers), equal to the view-path output."""
+    rng = np.random.default_rng(21)
+    frames = [random_frame_symbols(QCIF, rng, tr=t) for t in range(3)]
+    data, _ = encode.serialize_sequence(QCIF, frames)
+    views = native.parse(data)
+    owned = native.parse(data, copy=True)
+    for a, b in zip(views, owned):
+        for field in ("gquant", "quant", "mv", "cbp", "levels"):
+            va, vb = getattr(a, field), getattr(b, field)
+            np.testing.assert_array_equal(va, vb)
+            assert va.base is not None      # view path: borrows buffers
+            assert vb.base is None          # copy path: owns its data
+
+
 def test_parse_rejects_garbage():
     with pytest.raises(parse.StreamError):
         native.parse(b"\xff\xff\xff\xff")

@@ -138,9 +138,15 @@ def check_sad() -> bool:
         gold = np_sad_oracle(cur, ref, s)
         valid = gold < (1 << 30)
         cj, rj = jnp.asarray(cur), jnp.asarray(ref)
+        # EVERY in-tree jittable SAD formulation must appear here (repo
+        # policy: no device path without a hardware parity assertion --
+        # me_pallas.py; round-1 lesson: interpret-mode parity does not
+        # imply hardware parity).
         variants = {
             "pallas_bf16": lambda: me_pallas.sad_map_pallas_bf16(cj, rj, s),
             "pallas_rp": lambda: me_pallas.sad_map_pallas_rp(cj, rj, s),
+            "pallas_f32": lambda: me_pallas.sad_map_pallas(cj, rj, s),
+            "pallas_i8": lambda: me_pallas.sad_map_pallas_i8(cj, rj, s),
             "shifted": lambda: jax.jit(me.sad_map_shifted,
                                        static_argnums=2)(cj, rj, s),
             "i8": lambda: jax.jit(me.sad_map_i8, static_argnums=2)(cj, rj, s),
