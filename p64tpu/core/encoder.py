@@ -205,26 +205,51 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     def process_gob_mquant(coefs_g, intra_g, mc_g, fil_g, mv_g, buffer):
         """One GOB with mid-GOB MQUANT adaptation (RateConfig.mquant_segments
         > 1): segment s re-evaluates the buffer law including the modeled
-        bits of earlier segments (first-pass model at the GOB quantizer); a
-        changed quantizer is signaled on the segment's first
-        coefficient-bearing MB via an MQUANT MTYPE variant."""
+        bits of earlier segments; a changed quantizer is signaled on the
+        segment's first coefficient-bearing MB via an MQUANT MTYPE variant.
+
+        Two-pass cost model (round-3 verdict item 9): pass 1 models per-MB
+        bits at the GOB quantizer q0 to get provisional segment quantizers;
+        pass 1b re-runs the bit model at those provisional quantizers, so
+        each segment's buffer projection sees earlier segments' costs at
+        the quant they will actually use (the q0-only model is biased
+        exactly when MQUANT matters, i.e. when q_seg diverges from q0)."""
         nseg = cfg.rate.mquant_segments
         seg_id = jnp.asarray((np.arange(MBS_PER_GOB) * nseg) // MBS_PER_GOB)
-        q0 = gob_quant(cfg.rate, buffer)
-        # pass 1: per-MB cost model at q0 picks the per-segment quantizers
-        lv0, cbp0, mt0, coded0, _ = process_gob(
-            coefs_g, intra_g, mc_g, fil_g, mv_g, q0)
-        mb0 = lengths.gob_payload_bits_per_mb(coded0, mt0, mv_g, cbp0, lv0)
         seg_oh = seg_id[None, :] == jnp.arange(nseg)[:, None]     # (S, 33)
-        seg_bits = jnp.where(seg_oh, mb0[None, :], 0).sum(-1)
-        prefix = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                  jnp.cumsum(seg_bits)[:-1]])
-        q_seg = gob_quant(cfg.rate, buffer + prefix)              # (S,)
+        weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
+        q0 = gob_quant(cfg.rate, buffer)
+
+        def model_bits(q_mb_vec):
+            """Per-MB modeled payload bits at a per-MB quantizer vector
+            (same masking rules as the real pass below; MQUANT signaling
+            overhead is not modeled -- both passes agree on that)."""
+            lv = quantize_zz(coefs_g, q_mb_vec[:, None, None],
+                             intra_g[..., None, None])
+            cb = jnp.where((lv != 0).any(axis=-1), weights, 0).sum(axis=-1)
+            hc = cb > 0
+            cd = intra_g | mc_g | hc
+            lv = jnp.where(cd[..., None, None], lv, 0)
+            mt = _mtype_from_flags(intra_g, mc_g, fil_g, hc)
+            return lengths.gob_payload_bits_per_mb(cd, mt, mv_g, cb, lv)
+
+        def seg_quants(mb_bits):
+            """Segment quantizers from a per-MB bit model."""
+            seg_bits = jnp.where(seg_oh, mb_bits[None, :], 0).sum(-1)
+            prefix = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                      jnp.cumsum(seg_bits)[:-1]])
+            return gob_quant(cfg.rate, buffer + prefix)           # (S,)
+
+        # pass 1: bits at q0 -> provisional segment quantizers
+        q_seg1 = seg_quants(model_bits(q0 + jnp.zeros(MBS_PER_GOB,
+                                                      jnp.int32)))
+        # pass 1b: bits at the provisional quantizers -> final quantizers
+        q_mb1 = jnp.where(seg_oh, q_seg1[:, None], 0).sum(0)
+        q_seg = seg_quants(model_bits(q_mb1))
         q_mb = jnp.where(seg_oh, q_seg[:, None], 0).sum(0)        # (33,)
         # pass 2: real quantization at the per-MB quantizer
         levels = quantize_zz(coefs_g, q_mb[:, None, None],
                              intra_g[..., None, None])
-        weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
         cbp = jnp.where((levels != 0).any(axis=-1), weights, 0).sum(axis=-1)
         has_coef = cbp > 0
         coded = intra_g | mc_g | has_coef
