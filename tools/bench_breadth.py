@@ -58,27 +58,52 @@ def measure_finalize(streams: int = 64, frames_t: int = 8) -> dict:
 
 
 def main() -> int:
+    only = sys.argv[1:] or None       # e.g. `bench_breadth.py knee pipeline`
+
+    def want(tag):
+        return only is None or tag in only
+
     rows = []
-    for config in ("cif", "cif_rc", "cif_intra", "qcif"):
-        r = bench.measure(config)
-        rows.append((f"{config} (16 streams)", r))
-    for streams in (4, 32, 64):
-        r = bench.measure("cif", streams=streams)
-        rows.append((f"cif ({streams} streams)", r))
-    rd = bench.measure_decode()
-    rows.append(("decode (16 streams)", rd))
+    if want("configs"):
+        for config in ("cif", "cif_rc", "cif_intra", "qcif"):
+            r = bench.measure(config)
+            rows.append((f"{config} (16 streams)", r))
+    if want("scaling") or want("knee"):
+        counts = [4, 32, 64] if want("scaling") else []
+        if want("knee"):
+            counts += [128, 256]      # round-3 verdict item 5: find the knee
+        for streams in counts:
+            try:
+                r = bench.measure("cif", streams=streams)
+            except Exception as e:    # noqa: BLE001 -- record OOM as data
+                print(f"| cif ({streams} streams) | FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]} |")
+                break
+            rows.append((f"cif ({streams} streams)", r))
+    if want("decode"):
+        rows.append(("decode (16 streams)", bench.measure_decode()))
+    if want("pipeline"):
+        rows.append(("pipeline (64 streams)", bench.measure_pipeline()))
 
     print("| config | MB/s/chip | ms/run | total bits | compile s |")
     print("|---|---|---|---|---|")
     for name, r in rows:
-        extra = (f" (parse {r['parse_ms']:.0f} + device {r['device_ms']:.0f})"
-                 if "parse_ms" in r else "")
+        extra = ""
+        if "parse_ms" in r:
+            extra = (f" (stages: parse {r['parse_ms']:.0f} + device "
+                     f"{r['device_ms']:.0f}; "
+                     f"{r['overlap_hidden'] * 100:.0f}% parse hidden)")
+        elif "finalize_ms" in r:
+            extra = (f" (stages: device {r['device_ms']:.0f} + finalize "
+                     f"{r['finalize_ms']:.0f}; "
+                     f"{r['overlap_hidden'] * 100:.0f}% finalize hidden)")
         print(f"| {name} | {r['mbs']:,.0f} | {r['ms']:.1f}{extra} "
               f"| {r['bits']} | {r.get('compile_s', float('nan')):.0f} |")
 
-    f = measure_finalize()
-    print(f"\nhost finalize: {f['streams']} CIF streams x 8 frames = "
-          f"{f['ms']:.1f} ms host-serial ({f['bytes']} bytes)")
+    if want("finalize"):
+        f = measure_finalize()
+        print(f"\nhost finalize: {f['streams']} CIF streams x 8 frames = "
+              f"{f['ms']:.1f} ms host-serial ({f['bytes']} bytes)")
     return 0
 
 
