@@ -107,7 +107,10 @@ def _make_decode_content(streams: int, frames_t: int, quant: int):
 
     fmt = CIF
     n_a = streams // 2
-    n_b = max(1, streams // 4)
+    # one stuffing-stress stream per 16: at 4 Mbit/s a stream is mostly
+    # stuffing fill, so more would skew the byte mix away from real
+    # content (first 64-stream run: 75% of all bytes were stuffing)
+    n_b = max(1, streams // 16)
     n_c = streams - n_a - n_b
     groups = [
         (n_a, RateConfig(fixed_quant=quant)),
@@ -434,11 +437,10 @@ def measure(config: str = "cif", streams: int = 16, frames_t: int = 32,
 
 def main() -> int:
     run_parity_gate()
-    # 64 streams: the round-3 scaling curve (BASELINE.md) measured 667k
-    # MB/s at 64 vs 613k at 16 -- production deployments batch as many
-    # independent streams as HBM allows, so the headline uses the measured
-    # sweet spot.
-    streams = int(os.environ.get("P64_BENCH_STREAMS", "64"))
+    # 128 streams: the round-4 scaling curve (BASELINE.md) measured the
+    # knee -- 906k MB/s at 128 vs 668k at 64 and 850k at 256 -- so the
+    # headline uses the measured optimum batch point.
+    streams = int(os.environ.get("P64_BENCH_STREAMS", "128"))
     # 32 frames/stream: one timed dispatch carries ~29 ms of axon-tunnel
     # round-trip latency (measured round 3: 8x9.6 ms of device work timed
     # as 105.8 ms); a longer steady-state run amortizes that measurement
@@ -450,7 +452,10 @@ def main() -> int:
     baseline_mbs = float(os.environ.get("P64_BASELINE_MBS", "1e4"))
 
     if config == "decode":
-        r = measure_decode(streams, frames_t, reps, quant)
+        # decode has its own default batch point (the encode knee does not
+        # transfer: parse is host-bound); P64_DECODE_STREAMS overrides
+        dec_streams = int(os.environ.get("P64_DECODE_STREAMS", "16"))
+        r = measure_decode(dec_streams, frames_t, reps, quant)
         metric = "cif_decode_macroblocks_per_sec_per_chip"
     elif config == "pipeline":
         r = measure_pipeline(streams, frames_t, reps=reps, quant=quant)

@@ -346,6 +346,16 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
 
     sse_y = jnp.sum((rec_y.astype(jnp.float32) - cur_y.astype(jnp.float32))
                     ** 2)
+    # Symbol-tensor footprint (round-4): ACs and the inter DC are clamped
+    # to +/-127 by the quantizer (kernels/quant.py), so they ship as int8;
+    # only the intra DC FLC (range 1..254) needs more and rides a uint8
+    # sidecar.  Halves the dominant HBM + device->host tensor -- levels
+    # was ~75% of the bytes the host finalize fetches.
+    intra_dc = intra & coded
+    levels8 = jnp.where((jnp.arange(64) == 0) & intra_dc[:, None, None],
+                        0, levels).astype(jnp.int8)
+    dc_intra = jnp.where(intra_dc[:, None], levels[:, :, 0],
+                         0).astype(jnp.uint8)
     out = dict(
         # derived from traced state for shard_map varying-type parity with
         # the skip branch (see _skip_picture)
@@ -354,7 +364,8 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         gquant=gquant.astype(jnp.int32),
         quant_mb=quant_mb.astype(jnp.int32),
         coded=coded.astype(bool), mtype=mtype.astype(jnp.int32),
-        mv=mv.astype(jnp.int32), cbp=cbp.astype(jnp.int32), levels=levels,
+        mv=mv.astype(jnp.int32), cbp=cbp.astype(jnp.int32),
+        levels8=levels8, dc_intra=dc_intra,
         total_bits=total_bits.astype(jnp.int32),
         n_stuff=n_stuff.astype(jnp.int32),
         sse_y=sse_y,
@@ -388,7 +399,8 @@ def _skip_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         quant_mb=zeros(n_mb, jnp.int32),
         coded=zeros(n_mb, bool), mtype=zeros(n_mb, jnp.int32),
         mv=zeros((n_mb, 2), jnp.int32), cbp=zeros(n_mb, jnp.int32),
-        levels=zeros((n_mb, 6, 64), jnp.int16),
+        levels8=zeros((n_mb, 6, 64), jnp.int8),
+        dc_intra=zeros((n_mb, 6), jnp.uint8),
         total_bits=tok,
         n_stuff=tok,
         sse_y=jnp.sum((state["ref_y"].astype(jnp.float32)
@@ -449,11 +461,16 @@ def outputs_to_symbols(cfg: EncoderConfig, outputs) -> List[FrameSymbols]:
     for i in range(host["frame_coded"].shape[0]):
         if not host["frame_coded"][i]:
             continue
+        # reassemble int16 levels from the int8 tensor + intra-DC sidecar
+        # (dc_intra is nonzero exactly on intra coded MBs: DC FLC >= 1)
+        lv = host["levels8"][i].astype(np.int16)
+        dc = host["dc_intra"][i].astype(np.int16)
+        lv[..., 0] = np.where(dc > 0, dc, lv[..., 0])
         syms.append(FrameSymbols(
             tr=int(host["tr"][i]), gquant=host["gquant"][i],
             coded=host["coded"][i], mtype=host["mtype"][i],
             mv=host["mv"][i], cbp=host["cbp"][i],
-            levels=host["levels"][i], quant_mb=host["quant_mb"][i],
+            levels=lv, quant_mb=host["quant_mb"][i],
             n_stuff=int(host["n_stuff"][i])))
     return syms
 

@@ -61,6 +61,7 @@ def test_resume_bitstream_identical(tmp_path):
 
     # device state equality => all later frames encode identically
     # (n_stuff included: minimum-rate fill depends on the carried buffer)
-    for k in ("coded", "mtype", "mv", "cbp", "levels", "gquant", "n_stuff"):
+    for k in ("coded", "mtype", "mv", "cbp", "levels8", "dc_intra", "gquant",
+              "n_stuff"):
         np.testing.assert_array_equal(
             np.asarray(out2[k]), np.asarray(out_full[k])[3:], err_msg=k)

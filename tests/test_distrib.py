@@ -45,7 +45,7 @@ def test_sharded_encode_matches_sequential():
     for s in range(n_streams):
         fr = {k: v[s] for k, v in frames.items()}
         _, out_one = enc.encode_sequence_jit(cfg, fr, enc.init_state(cfg))
-        for key in ("coded", "mtype", "mv", "cbp", "levels", "gquant",
+        for key in ("coded", "mtype", "mv", "cbp", "levels8", "dc_intra", "gquant",
                     "total_bits", "frame_coded"):
             np.testing.assert_array_equal(
                 np.asarray(out_sh[key])[s], np.asarray(out_one[key]),
@@ -184,7 +184,7 @@ def test_sharded_production_shape():
     for s in range(n_streams):
         fr = {k: v[s] for k, v in frames.items()}
         _, out_one = enc.encode_sequence_jit(cfg, fr, enc.init_state(cfg))
-        for key in ("coded", "mtype", "mv", "levels", "gquant",
+        for key in ("coded", "mtype", "mv", "levels8", "dc_intra", "gquant",
                     "total_bits"):
             np.testing.assert_array_equal(
                 np.asarray(out_sh[key])[s], np.asarray(out_one[key]),
