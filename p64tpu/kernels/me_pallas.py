@@ -161,6 +161,17 @@ def _sad_kernel_bf16(cur_ref, shifted_ref, pr_ref, pc_ref, out_ref, *,
     # deleted).  Conclusion: the kernel is VPU-bound on the 961 intrinsic
     # full-plane abs-diff passes, not MXU-bound -- further gains need
     # fewer elementwise passes, not cheaper matmuls.
+    #
+    # Round-4 attempt (roofline follow-up, BASELINE.md "ME roofline"): a
+    # uint8 kernel computing |a-b| entirely in packed int8 (4 lanes/word,
+    # up to 4x the elementwise rate and 1/2 the loads) fails to compile on
+    # this Mosaic toolchain -- arith.maxui AND arith.cmpi on
+    # vector<8x128x4xi8> are both rejected (so neither max/min-sub nor
+    # cmp+select abs formulations lower; same class as the round-3
+    # math.absi/arith.maxsi-on-i16 finding).  bf16 is the narrowest dtype
+    # with working elementwise coverage that holds 0..255 exactly, so this
+    # kernel is the toolchain-level local optimum for the intrinsic
+    # abs-diff work, not just a formulation-level one.
     ad_rows = []
     for dy in range(side):
         ad_rows.append(jnp.abs(cur - sh[dy:dy + h, :]))

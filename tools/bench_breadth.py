@@ -71,7 +71,9 @@ def main() -> int:
     if want("scaling") or want("knee"):
         counts = [4, 32, 64] if want("scaling") else []
         if want("knee"):
-            counts += [128, 256]      # round-3 verdict item 5: find the knee
+            # round-3 verdict item 5: find the knee (first pass measured
+            # 128: 906k > 64: 668k > 256: 850k; refine around the peak)
+            counts += [96, 128, 192, 256]
         for streams in counts:
             try:
                 r = bench.measure("cif", streams=streams)
