@@ -52,9 +52,12 @@ def run_parity_gate() -> None:
         raise SystemExit(1)
 
 
-def make_content(fmt, streams: int, frames_t: int):
+def make_content(fmt, streams: int, frames_t: int, noise: int = 5):
     """Deterministic synthetic content with real motion (shared by the
-    encode and decode benchmarks)."""
+    encode and decode benchmarks).  `noise` sets the per-pixel texture
+    amplitude: the default matches the encode headline; the decode bench's
+    rate-controlled groups use heavier texture so their bit targets bind
+    on content instead of dissolving into stuffing fill."""
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
     h, w = fmt.height, fmt.width
@@ -67,7 +70,7 @@ def make_content(fmt, streams: int, frames_t: int):
             x0 = (10 + 7 * t + 13 * s) % (w - 48)
             y0 = (20 + 5 * t + 7 * s) % (h - 48)
             b[y0:y0 + 48, x0:x0 + 48] += 50
-            ys[s, t] = np.clip(b + rng.integers(0, 5, (h, w)), 0, 255)
+            ys[s, t] = np.clip(b + rng.integers(0, noise, (h, w)), 0, 255)
     return dict(
         y=jnp.asarray(ys),
         cb=jnp.asarray((ys[:, :, ::2, ::2] // 2 + 64).astype(np.uint8)),
@@ -117,18 +120,21 @@ def _make_decode_content(streams: int, frames_t: int, quant: int):
         # target above content cost at low QUANT -> stuffing fill on
         # every frame without letting stuffing dominate the byte mix
         (n_b, RateConfig(bit_rate=4_000_000, frame_rate=30)),
-        # mid-range target with segment adaptation -> MQUANT MTYPEs
-        (n_c, RateConfig(bit_rate=3_000_000, frame_rate=30,
-                         mquant_segments=3)),
+        # near-content-cost target with segment adaptation -> MQUANT
+        # MTYPEs and only light stuffing; initial_quant=12 keeps the
+        # noisy first intra frame under the skip threshold
+        (n_c, RateConfig(bit_rate=2_000_000, frame_rate=30,
+                         mquant_segments=3, initial_quant=12)),
     ]
     datas: list = []
     n_stuff = 0
     n_mq = 0
-    for n, rate in groups:
+    for gi, (n, rate) in enumerate(groups):
         if n == 0:
             continue
         cfg = enc.EncoderConfig(fmt=fmt, search=15, rate=rate)
-        frames = make_content(fmt, n, frames_t)
+        # heavy texture for the rate-controlled groups (see make_content)
+        frames = make_content(fmt, n, frames_t, noise=5 if gi == 0 else 40)
         states = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n,) + x.shape),
             enc.init_state(cfg))
