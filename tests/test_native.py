@@ -171,3 +171,23 @@ def test_parse_adaptive_buffer_growth():
     from p64tpu.entropy.parse import StreamError
     with pytest.raises(StreamError):
         native.parse_tensors(data, max_frames=8)
+
+
+def test_parse_long_stuffing_runs_fast_path():
+    """The C++ MBA-stuffing fast path (4 codes per 44-bit peek + singles)
+    must agree with the Python parser on long runs of every length mod 4,
+    including a run that ends flush with the end of data."""
+    from p64tpu.entropy.encode import FrameSymbols
+    rng = np.random.default_rng(77)
+    for n_stuff in (1, 2, 3, 4, 5, 47, 1001):
+        frames = [random_frame_symbols(QCIF, rng, tr=t, p_coded=0.1)
+                  for t in range(2)]
+        frames = [FrameSymbols(**{**f.__dict__, "n_stuff": n_stuff})
+                  for f in frames]
+        data, _ = encode.serialize_sequence(QCIF, frames)
+        want = parse.parse_stream(data)
+        got = native.parse(data)
+        assert len(got) == len(want) == 2, n_stuff
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a.coded, b.coded)
+            np.testing.assert_array_equal(a.levels, b.levels)
