@@ -131,6 +131,26 @@ def luma_to_frames(y: np.ndarray) -> Dict[str, np.ndarray]:
     return _chroma(y)
 
 
+def graded_energy_qcif() -> Dict[str, np.ndarray]:
+    """One QCIF frame whose per-MB texture energy decays along the raster
+    MB index: segment 0 of GOB 0 is expensive, later segments cheap -- the
+    shape on which the one-pass (q0-only) MQUANT cost model provably
+    mispredicts later segments' buffer state.  Shared by
+    tests/test_control.py::test_mquant_second_pass_cost_model and the
+    `mquant2pass` pinned golden (round-3 verdict item 9)."""
+    rng = np.random.default_rng(1)
+    h, w = 144, 176
+    y = np.zeros((h, w), np.uint8)
+    for r in range(h // 16):
+        for c in range(w // 16):
+            k = r * (w // 16) + c
+            amp = max(4, 90 - 3 * k)
+            y[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16] = np.clip(
+                128 + rng.integers(-amp, amp + 1, (16, 16)), 0, 255)
+    cb = np.full((h // 2, w // 2), 128, np.uint8)
+    return dict(y=y[None], cb=cb[None], cr=cb[None])
+
+
 ALL = {
     "config1_qcif_intra": config1_qcif_intra,
     "config2_qcif_inter": config2_qcif_inter,

@@ -60,6 +60,17 @@ def pinned_streams() -> Iterator[Tuple[str, bytes]]:
         yield f"adv_{name}_rc192k", enc(
             QCIF, frames_np,
             rate=RateConfig(bit_rate=192_000, frame_rate=30))
+    # mid-GOB MQUANT coverage (round-4): locks the segment-quantizer
+    # choice incl. the second-pass cost model, which no other pin reaches
+    yield "cif_rc1M_mquant3_t3", enc(
+        CIF, {k: v[:3] for k, v in gc.config3_cif_rc(3).items()},
+        search=15,
+        rate=RateConfig(bit_rate=1_024_000, frame_rate=30,
+                        mquant_segments=3))
+    yield "mquant2pass_graded_qcif", enc(
+        QCIF, gc.graded_energy_qcif(),
+        rate=RateConfig(bit_rate=700_000, frame_rate=30,
+                        mquant_segments=3))
 
 
 def current_hashes() -> Dict[str, Dict[str, object]]:

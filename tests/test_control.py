@@ -198,21 +198,11 @@ def test_min_rate_fill_off_by_config():
 
 
 def _graded_gob_content():
-    """QCIF luma with per-MB texture energy decaying along the raster MB
-    index: segment 0 of GOB 0 is expensive, later segments cheap -- the
-    shape on which the one-pass (q0-only) MQUANT cost model provably
-    mispredicts later segments' buffer state (round-3 verdict item 9)."""
-    rng = np.random.default_rng(1)
-    h, w = QCIF.height, QCIF.width
-    y = np.zeros((h, w), np.uint8)
-    for r in range(h // 16):
-        for c in range(w // 16):
-            k = r * (w // 16) + c
-            amp = max(4, 90 - 3 * k)
-            y[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16] = np.clip(
-                128 + rng.integers(-amp, amp + 1, (16, 16)), 0, 255)
-    cb = np.full((h // 2, w // 2), 128, np.uint8)
-    return y, cb
+    """Shared fixture (p64tpu.tools.golden_content.graded_energy_qcif):
+    also pinned as the `mquant2pass_graded_qcif` golden."""
+    from p64tpu.tools.golden_content import graded_energy_qcif
+    f = graded_energy_qcif()
+    return f["y"][0], f["cb"][0]
 
 
 def _host_mquant_models(coefs_g, rate, buf, nseg):
