@@ -78,6 +78,33 @@ def decode_seq(fmt: Format, seq) -> Tuple[np.ndarray, np.ndarray,
     return np.asarray(y), np.asarray(cb), np.asarray(cr)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _decode_scan_batch(fmt: Format, seqs):
+    """vmapped multi-stream reconstruct: seqs leaves are (S, T, ...)."""
+    def one(seq):
+        init = (jnp.zeros((fmt.height, fmt.width), jnp.uint8),
+                jnp.zeros((fmt.chroma_height, fmt.chroma_width), jnp.uint8),
+                jnp.zeros((fmt.chroma_height, fmt.chroma_width), jnp.uint8))
+        _, planes = _decode_scan(fmt, seq, *init)
+        return planes
+    return jax.vmap(one)(seqs)
+
+
+def decode_seq_batch(fmt: Format, seq_list):
+    """Reconstruct MANY equal-length streams in one batched device
+    dispatch (the multi-stream tool path: one vmapped scan instead of S
+    sequential dispatches -- small CIF/QCIF frames underfill the chip one
+    stream at a time, exactly like the encode side).
+
+    seq_list: list of parse_to_tensors seq dicts, all same fmt and frame
+    count.  Returns a list of (y, cb, cr) uint8 (T, ...) arrays.
+    """
+    batch = {k: jnp.stack([jnp.asarray(s[k]) for s in seq_list])
+             for k in seq_list[0]}
+    y, cb, cr = (np.asarray(p) for p in _decode_scan_batch(fmt, batch))
+    return [(y[i], cb[i], cr[i]) for i in range(len(seq_list))]
+
+
 def parse_any(data: bytes) -> List[ParsedFrame]:
     """Parse with the C++ engine when available (identical contract to the
     Python oracle -- tests/test_native.py), else pure Python."""

@@ -3,8 +3,9 @@
   python -m p64tpu.tools.batch_decode -o outdir a.p64 b.p64 ...
 
 Host VLC parse fans across threads straight into stacked symbol tensors
-(core.decoder.parse_to_tensors); reconstruction runs as the jitted device
-scan per stream (shapes are cached, so equal-length streams compile once).
+(core.decoder.parse_to_tensors); reconstruction batches every group of
+equal-shaped streams into ONE vmapped jitted device scan (sequential
+per-stream scans underfill the chip -- same batching as the encode side).
 One .y4m per input is written to outdir.
 """
 
@@ -17,7 +18,7 @@ import sys
 import time
 from typing import List
 
-from ..core.decoder import decode_seq, parse_to_tensors
+from ..core.decoder import decode_seq, decode_seq_batch, parse_to_tensors
 from ..entropy.parse import StreamError
 from ..io import yuv
 from ..utils import fan_map
@@ -52,8 +53,22 @@ def main(argv=None) -> int:
     os.makedirs(args.outdir, exist_ok=True)
     t0 = time.time()
     n_frames = 0
-    for path, (fmt, tr, seq) in zip(paths, parsed):
-        y, cb, cr = decode_seq(fmt, seq)
+    # group equal-shaped streams into ONE vmapped device dispatch each
+    # (sequential per-stream scans underfill the chip; same batching as
+    # the encode side)
+    groups = {}
+    for i, (fmt, tr, seq) in enumerate(parsed):
+        groups.setdefault((fmt, seq["levels"].shape[0]), []).append(i)
+    planes = [None] * len(parsed)
+    for (fmt, t), idxs in groups.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            planes[i] = decode_seq(fmt, parsed[i][2])
+        else:
+            for i, p in zip(idxs, decode_seq_batch(
+                    fmt, [parsed[i][2] for i in idxs])):
+                planes[i] = p
+    for path, (fmt, tr, seq), (y, cb, cr) in zip(paths, parsed, planes):
         n_frames += y.shape[0]
         out = os.path.join(
             args.outdir,

@@ -129,3 +129,39 @@ def test_batch_decode_roundtrip(tmp_path):
     bad = tmp_path / "bad.p64"
     bad.write_bytes(b"\xff" * 64)
     assert bd_main([str(bad), "-o", str(tmp_path / "dec2")]) == 1
+
+
+def test_batch_decode_mixed_lengths(tmp_path):
+    """Streams of different frame counts decode in per-shape groups (one
+    vmapped dispatch per group, singletons via the scalar path) with
+    outputs identical to per-stream decode."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from p64tpu.control.ratecontrol import RateConfig
+    from p64tpu.core import encoder as enc
+    from p64tpu.core.decoder import decode_stream
+    from p64tpu.io.yuv import read_y4m
+    from p64tpu.spec.constants import QCIF
+    from p64tpu.tools.batch_decode import main as bd_main
+
+    rng = np.random.default_rng(71)
+    paths = []
+    for s, t in enumerate((2, 2, 3)):     # one pair + one singleton group
+        y = (rng.integers(0, 256, (t, 144, 176)) // 2 + 32).astype(np.uint8)
+        frames = dict(
+            y=jnp.asarray(y),
+            cb=jnp.asarray((y[:, ::2, ::2] // 2 + 64).astype(np.uint8)),
+            cr=jnp.asarray((255 - y[:, 1::2, ::2] // 2).astype(np.uint8)))
+        cfg = enc.EncoderConfig(fmt=QCIF, rate=RateConfig(fixed_quant=9))
+        data, _, _ = enc.encode_to_bytes(cfg, frames)
+        p = tmp_path / f"m{s}.p64"
+        p.write_bytes(data)
+        paths.append(p)
+
+    assert bd_main([str(p) for p in paths]
+                   + ["-o", str(tmp_path / "dec")]) == 0
+    for p in paths:
+        want_y, _, _, _ = decode_stream(p.read_bytes())
+        got, _ = read_y4m(str(tmp_path / "dec" / (p.stem + ".y4m")))
+        np.testing.assert_array_equal(got["y"], np.asarray(want_y))
