@@ -104,11 +104,14 @@ def _make_decode_content(streams: int, frames_t: int, quant: int):
 
     from p64tpu.control.ratecontrol import RateConfig
     from p64tpu.core import encoder as enc
-    from p64tpu.entropy.encode import serialize_sequence
     from p64tpu.spec.constants import CIF
     from p64tpu.spec.luts import MTYPE_MQUANT
 
     fmt = CIF
+    if streams < 4:
+        raise ValueError(
+            f"decode bench needs >= 4 streams for the fixed-q/stuffing/"
+            f"MQUANT mix, got {streams}")
     n_a = streams // 2
     # one stuffing-stress stream per 16: at 4 Mbit/s a stream is mostly
     # stuffing fill, so more would skew the byte mix away from real
@@ -148,11 +151,8 @@ def _make_decode_content(streams: int, frames_t: int, quant: int):
         n_stuff += int(outputs["n_stuff"].sum())
         n_mq += int(np.isin(outputs["mtype"],
                             np.flatnonzero(MTYPE_MQUANT)).sum())
-        for s in range(n):
-            syms = enc.outputs_to_symbols(
-                cfg, {k: v[s] for k, v in outputs.items()})
-            data, _ = serialize_sequence(fmt, syms)
-            datas.append(data)
+        from p64tpu.distrib import mesh as dm
+        datas.extend(d for d, _ in dm.serialize_streams(cfg, outputs))
     assert n_stuff > 0, "mix contains no MBA stuffing; retune group B rate"
     assert n_mq > 0, "mix contains no MQUANT MBs; retune group C rate"
     log(f"decode content: {len(datas)} streams, {n_stuff} stuffing codes, "
@@ -205,9 +205,13 @@ def measure_decode(streams: int = 16, frames_t: int = 32, reps: int = 3,
         return {k: jnp.stack([s[k] for _, _, s in parsed])
                 for k in parsed[0][2]}
 
-    # warm-up: compile the chunk-shaped device program
+    # warm-up: compile every distinct chunk shape (a ragged last chunk
+    # would otherwise XLA-compile inside the timed region)
     t0 = time.time()
-    chk = int(drun(parse_chunk(chunks[0])))
+    chk = 0
+    for ln in sorted({len(c) for c in chunks}):
+        chk += int(drun(parse_chunk(next(c for c in chunks
+                                         if len(c) == ln))))
     log(f"decode device compile+first run: {time.time() - t0:.1f}s")
 
     # pipelined end-to-end: parse chunk i+1 on host threads while the
@@ -464,7 +468,10 @@ def main() -> int:
         r = measure_decode(dec_streams, frames_t, reps, quant)
         metric = "cif_decode_macroblocks_per_sec_per_chip"
     elif config == "pipeline":
-        r = measure_pipeline(streams, frames_t, reps=reps, quant=quant)
+        # pipeline numbers are recorded at 64 streams (BASELINE.md); the
+        # encode-knee default (128) would silently break comparability
+        pipe_streams = int(os.environ.get("P64_PIPELINE_STREAMS", "64"))
+        r = measure_pipeline(pipe_streams, frames_t, reps=reps, quant=quant)
         metric = "cif_pipeline_encode_macroblocks_per_sec_per_chip"
     else:
         r = measure(config, streams, frames_t, reps, quant)

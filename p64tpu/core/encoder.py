@@ -185,19 +185,30 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     fil_t = t(fil)
     mv_t = t(mv, 2)
 
-    def process_gob(coefs_g, intra_g, mc_g, fil_g, mv_g, q):
-        """Quantize one GOB (or a batch of GOBs) at quantizer q and derive
-        CBP/MTYPE/coded masks plus the exact payload bit cost."""
+    def quantize_derive(coefs_g, intra_g, mc_g, fil_g, q):
+        """Quantize at quantizer q (scalar, broadcastable, or per-MB) and
+        derive the symbol masks: (levels, cbp, has_coef, coded, mtype).
+
+        SINGLE home for these rules: the fixed-q path, the MQUANT cost
+        model, and the MQUANT real pass all call this, so they cannot
+        drift apart -- the device bit model must equal the serializer
+        exactly (asserted on every encode)."""
         levels = quantize_zz(coefs_g, q, intra_g[..., None, None])
-        nzblk = (levels != 0).any(axis=-1)                  # (..., 33, 6)
         weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
-        cbp = jnp.where(nzblk, weights, 0).sum(axis=-1)
+        cbp = jnp.where((levels != 0).any(axis=-1), weights, 0).sum(axis=-1)
         has_coef = cbp > 0
-        mtype = _mtype_from_flags(intra_g, mc_g, fil_g, has_coef)
         coded = intra_g | mc_g | has_coef
         # untransmitted coefficient data is zero by construction except for
         # inter MBs that end up uncoded -- their levels are already zero.
         levels = jnp.where(coded[..., None, None], levels, 0)
+        mtype = _mtype_from_flags(intra_g, mc_g, fil_g, has_coef)
+        return levels, cbp, has_coef, coded, mtype
+
+    def process_gob(coefs_g, intra_g, mc_g, fil_g, mv_g, q):
+        """Quantize one GOB (or a batch of GOBs) at quantizer q and derive
+        CBP/MTYPE/coded masks plus the exact payload bit cost."""
+        levels, cbp, _, coded, mtype = quantize_derive(
+            coefs_g, intra_g, mc_g, fil_g, q)
         bits = lengths.gob_payload_bits(
             coded, mtype, mv_g, cbp, levels) + lengths.GOB_HEADER_BITS
         return levels, cbp, mtype, coded, bits
@@ -217,20 +228,15 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         nseg = cfg.rate.mquant_segments
         seg_id = jnp.asarray((np.arange(MBS_PER_GOB) * nseg) // MBS_PER_GOB)
         seg_oh = seg_id[None, :] == jnp.arange(nseg)[:, None]     # (S, 33)
-        weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
         q0 = gob_quant(cfg.rate, buffer)
 
         def model_bits(q_mb_vec):
             """Per-MB modeled payload bits at a per-MB quantizer vector
-            (same masking rules as the real pass below; MQUANT signaling
-            overhead is not modeled -- both passes agree on that)."""
-            lv = quantize_zz(coefs_g, q_mb_vec[:, None, None],
-                             intra_g[..., None, None])
-            cb = jnp.where((lv != 0).any(axis=-1), weights, 0).sum(axis=-1)
-            hc = cb > 0
-            cd = intra_g | mc_g | hc
-            lv = jnp.where(cd[..., None, None], lv, 0)
-            mt = _mtype_from_flags(intra_g, mc_g, fil_g, hc)
+            (same masking rules as the real pass below via quantize_derive;
+            MQUANT signaling overhead is not modeled -- both passes agree
+            on that)."""
+            lv, cb, _, cd, mt = quantize_derive(
+                coefs_g, intra_g, mc_g, fil_g, q_mb_vec[:, None, None])
             return lengths.gob_payload_bits_per_mb(cd, mt, mv_g, cb, lv)
 
         def seg_quants(mb_bits):
@@ -248,12 +254,8 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         q_seg = seg_quants(model_bits(q_mb1))
         q_mb = jnp.where(seg_oh, q_seg[:, None], 0).sum(0)        # (33,)
         # pass 2: real quantization at the per-MB quantizer
-        levels = quantize_zz(coefs_g, q_mb[:, None, None],
-                             intra_g[..., None, None])
-        cbp = jnp.where((levels != 0).any(axis=-1), weights, 0).sum(axis=-1)
-        has_coef = cbp > 0
-        coded = intra_g | mc_g | has_coef
-        levels = jnp.where(coded[..., None, None], levels, 0)
+        levels, cbp, has_coef, coded, base_mtype = quantize_derive(
+            coefs_g, intra_g, mc_g, fil_g, q_mb[:, None, None])
         # effective-quant chain: only a coefficient-bearing MB can carry
         # MQUANT, so a coefficient-free segment leaves the chain unchanged
         # (its levels are all zero -- any quant dequantizes them to zero).
@@ -269,8 +271,7 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
             mq_flag = mq_flag | (change & (idxs == first))
             eff = jnp.where(change, q_seg[s], eff)
             quant_mb = jnp.where(in_s, eff, quant_mb)
-        mtype = _upgrade_mtype_mquant(
-            _mtype_from_flags(intra_g, mc_g, fil_g, has_coef), mq_flag)
+        mtype = _upgrade_mtype_mquant(base_mtype, mq_flag)
         bits = lengths.gob_payload_bits(
             coded, mtype, mv_g, cbp, levels) + lengths.GOB_HEADER_BITS
         return levels, cbp, mtype, coded, q0, quant_mb, bits
