@@ -395,7 +395,6 @@ int64_t p64_parse(
     int is_cif = (ptype >> 2) & 1;
     out_fmt[f] = is_cif;
     while (br_read(&r, 1)) br_read(&r, 8);  // PEI/PSPARE
-    int n_gob = is_cif ? 12 : 3;
     const int32_t* perm = is_cif ? perm_cif : perm_qcif;
 
     // zero this frame's outputs
