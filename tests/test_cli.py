@@ -165,3 +165,18 @@ def test_batch_decode_mixed_lengths(tmp_path):
         want_y, _, _, _ = decode_stream(p.read_bytes())
         got, _ = read_y4m(str(tmp_path / "dec" / (p.stem + ".y4m")))
         np.testing.assert_array_equal(got["y"], np.asarray(want_y))
+
+
+def test_frame_range_selects_inclusive_slice(tmp_path):
+    """-a/-b encode exactly frames [a, b] of the input: the bitstream must
+    equal encoding a file containing only that slice."""
+    full = tmp_path / "full.y4m"
+    frames = _write_y4m(full, t=6)
+    part = tmp_path / "part.y4m"
+    yuv.write_y4m(str(part), {k: v[2:5] for k, v in frames.items()})
+    s_rng = tmp_path / "rng.p64"
+    s_pre = tmp_path / "pre.p64"
+    assert main(["-s", str(s_rng), "-q", "9", "-a", "2", "-b", "4",
+                 str(full)]) == 0
+    assert main(["-s", str(s_pre), "-q", "9", str(part)]) == 0
+    assert s_rng.read_bytes() == s_pre.read_bytes()

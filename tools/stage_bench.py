@@ -26,8 +26,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-ITERS = 30
-STREAMS = 16
+ITERS = int(os.environ.get("P64_STAGE_ITERS", "30"))
+STREAMS = int(os.environ.get("P64_STAGE_STREAMS", "16"))
 
 
 def main(argv):
