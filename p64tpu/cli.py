@@ -21,6 +21,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from . import stats
+from .control.decisions import DecisionConfig
 from .control.ratecontrol import RateConfig
 from .core.decoder import decode_stream
 from .core.encoder import EncoderConfig, encode_to_bytes
@@ -57,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--mquant-segments", type=int, default=1,
                    help="mid-GOB quantizer adaptation: segments per GOB "
                         "(1 = GQUANT only; needs -r)")
+    p.add_argument("-l", "--no-filter", action="store_true",
+                   help="disable the H.261 loop filter (no FIL MTYPEs)")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="per-frame statistics")
     p.add_argument("input", nargs="?",
@@ -102,7 +105,9 @@ def run_encode(args) -> int:
                       mquant_segments=args.mquant_segments)
     cfg = EncoderConfig(fmt=fmt, search=max(args.search, 0), rate=rate,
                         intra_only=args.search <= 0,
-                        intra_period=args.intra_period)
+                        intra_period=args.intra_period,
+                        decisions=DecisionConfig(
+                            filter_with_mc=not args.no_filter))
     import jax.numpy as jnp
     dev_frames = {k: jnp.asarray(v) for k, v in frames.items()}
     data, outputs, _ = encode_to_bytes(cfg, dev_frames)

@@ -180,3 +180,36 @@ def test_frame_range_selects_inclusive_slice(tmp_path):
                  str(full)]) == 0
     assert main(["-s", str(s_pre), "-q", "9", str(part)]) == 0
     assert s_rng.read_bytes() == s_pre.read_bytes()
+
+
+def test_no_filter_flag_disables_fil_mtypes(tmp_path):
+    """-l/--no-filter must produce a stream containing no FIL MTYPEs
+    (and a different bitstream when the filtered encode used them)."""
+    from p64tpu.entropy.parse import parse_stream
+    from p64tpu.spec import luts
+
+    inp = tmp_path / "in.y4m"
+    h, w = QCIF.height, QCIF.width
+    # smooth moving content: MC with filter is normally chosen
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 2 + yy) % 160 + 40).astype(np.int32)
+    ys = []
+    for t in range(3):
+        f = base.copy()
+        f[40:80, 30 + 6 * t:70 + 6 * t] += 60
+        ys.append(np.clip(f + RNG.integers(0, 6, (h, w)), 0, 255))
+    y = np.stack(ys).astype(np.uint8)
+    yuv.write_y4m(str(inp), dict(y=y, cb=y[:, ::2, ::2],
+                                 cr=y[:, 1::2, ::2]))
+    s_fil = tmp_path / "fil.p64"
+    s_nof = tmp_path / "nof.p64"
+    assert main(["-s", str(s_fil), "-q", "10", str(inp)]) == 0
+    assert main(["-s", str(s_nof), "-q", "10", "-l", str(inp)]) == 0
+
+    def fil_count(p):
+        frames = parse_stream(p.read_bytes())
+        return sum(int(f.fil.sum()) for f in frames)
+
+    assert fil_count(s_fil) > 0, "fixture no longer triggers the filter"
+    assert fil_count(s_nof) == 0
+    assert s_fil.read_bytes() != s_nof.read_bytes()
