@@ -36,7 +36,7 @@ from ..spec.constants import (
     Format,
     ptype_value,
 )
-from .bitio import pack_symbols
+from .bitio import BitWriter
 
 
 @dataclasses.dataclass
@@ -85,24 +85,13 @@ def wrap_mvd(mv: int, pred: int) -> int:
     return d
 
 
-class _SymSink:
-    """Accumulates (value, nbits) pairs for vectorized packing."""
-
-    __slots__ = ("codes", "lens")
-
-    def __init__(self) -> None:
-        self.codes: List[int] = []
-        self.lens: List[int] = []
-
-    def put(self, value: int, nbits: int) -> None:
-        self.codes.append(value)
-        self.lens.append(nbits)
+class _SymSink(BitWriter):
+    """BitWriter with the oracle serializer's (bytes, nbits) pack()
+    interface -- one accumulate-and-pack implementation (with BitWriter's
+    value-range asserts), not two (round-4 review finding)."""
 
     def pack(self) -> Tuple[bytes, int]:
-        return pack_symbols(
-            np.asarray(self.codes, dtype=np.uint64),
-            np.asarray(self.lens, dtype=np.int64),
-        )
+        return self.getvalue(), self.nbits
 
 
 def _put_block(sink: _SymSink, zz: np.ndarray, intra: bool) -> None:

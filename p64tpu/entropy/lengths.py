@@ -44,7 +44,6 @@ PICTURE_HEADER_BITS = PSC_BITS + TR_BITS + PTYPE_BITS + PEI_BITS
 GOB_HEADER_BITS = GBSC_BITS + GN_BITS + GQUANT_BITS + PEI_BITS
 
 # LUTs as module-level numpy constants; jnp.asarray inside jit is free.
-_TC_LEN = luts.TC_LEN.astype(np.int32)
 # Compact VLC-entry table: every (run, |level|) outside run<=26, |level|<=15
 # is the 20-bit escape, so the gatherable part is 27x16 (see _tc_len).
 _TC_RUN_MAX = 26

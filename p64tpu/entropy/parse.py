@@ -128,7 +128,15 @@ def parse_stream(data: bytes) -> List[ParsedFrame]:
         raise StreamError("stream does not start with PSC")
     more = True
     while more:
-        frame, more = _parse_picture(r)
+        try:
+            frame, more = _parse_picture(r)
+        except EOFError as e:
+            # fixed-width reads (TR/PTYPE/PEI, GQUANT, MQUANT, escapes) hit
+            # BitReader's EOFError on truncated streams; the module's
+            # declared error type is StreamError -- keep the contract (and
+            # match the native parser's P64_ERR_TRUNCATED)
+            raise StreamError(
+                f"truncated stream at bit {r.pos}: {e}") from e
         frames.append(frame)
     return frames
 

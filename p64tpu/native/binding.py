@@ -101,6 +101,15 @@ class NativeBitIO:
                                     self._dec_arrays.items()})
         self._perm_cif = transmission_order(CIF).astype(np.int32)
         self._perm_qcif = transmission_order(QCIF).astype(np.int32)
+        # the C++ engine hardcodes the MBA stuffing pattern in its
+        # emitter and greedy-parse fast path ('00000001111' = 0xF/11
+        # bits, symbol 34); pin the single source of truth (spec tables)
+        # to it so a table change cannot silently diverge the engines
+        if ((luts.MBA_STUFFING_CODE, luts.MBA_STUFFING_LEN) != (0xF, 11)
+                or luts.MBA_STUFFING_SYMBOL != 34):
+            raise RuntimeError(
+                "spec MBA stuffing tables diverged from the C++ engine's "
+                "hardcoded pattern -- update bitio.cpp (kStuff4, emitter)")
 
     # -- pack --------------------------------------------------------------
 
@@ -108,6 +117,10 @@ class NativeBitIO:
                      lens: np.ndarray) -> Tuple[bytes, int]:
         codes = np.ascontiguousarray(codes, dtype=np.uint64)
         lens = np.ascontiguousarray(lens, dtype=np.int64)
+        if len(lens) and (lens.max() > 64 or lens.min() < 0):
+            # C++ bw_put shifts a uint64 by the length -- >64 would be UB
+            # (the Python oracle asserts the same contract)
+            raise ValueError("symbol lengths must be 0..64")
         cap = int(lens.sum()) // 8 + 16
         out = np.zeros(cap, np.uint8)
         n = self._lib.p64_pack_symbols(
@@ -141,13 +154,34 @@ class NativeBitIO:
             [f.quant_mb if f.quant_mb is not None
              else np.zeros(n_mb, np.int32) for f in frames]), np.int32)
         n_stuff = np.ascontiguousarray([f.n_stuff for f in frames], np.int32)
+        # validity guards mirroring the Python oracle (the C++ engine
+        # trusts its inputs; a CBP of 0 or a missing MQUANT value would
+        # otherwise serialize an UNDECODABLE stream that even the
+        # length-model == serializer assert cannot catch, since both
+        # count 0 bits for CBP 0)
+        cmask = coded != 0
+        bad_cbp = (luts.MTYPE_CBP[mtype] & cmask
+                   & ((cbp < 1) | (cbp > 63)))
+        if bad_cbp.any():
+            raise ValueError(
+                f"CBP out of range 1..63 on {int(bad_cbp.sum())} coded "
+                f"CBP-bearing MBs")
+        bad_mq = (luts.MTYPE_MQUANT[mtype] & cmask
+                  & ((quant_mb < 1) | (quant_mb > 31)))
+        if bad_mq.any():
+            raise ValueError(
+                f"MQUANT MTYPE without a valid 1..31 quant_mb on "
+                f"{int(bad_mq.sum())} MBs")
+        if ((gq < 1) | (gq > 31)).any():
+            raise ValueError("GQUANT out of range 1..31")
         perm = transmission_order(fmt).astype(np.int32)
         gn = np.ascontiguousarray(fmt.gob_numbers, np.int32)
         # capacity: worst case ~ every coefficient escapes; generous bound
-        cap = (int(n) * (64 + n_gob * 40 + int(coded.sum(axis=None)) * 0 +
+        cap = (int(n) * (64 + n_gob * 40 +
                          n_mb * (40 + 6 * (64 * 20 + 10))) // 8
                + int(n_stuff.sum()) * 11 // 8 + 1024)
-        out = np.zeros(cap, np.uint8)
+        # p64_serialize memsets the whole buffer itself -- empty, not zeros
+        out = np.empty(cap, np.uint8)
         bits = self._lib.p64_serialize(
             C.byref(self._enc_t), C.c_int64(n), C.c_int32(n_mb),
             C.c_int32(n_gob), _ptr(gn), _ptr(perm),
@@ -193,7 +227,12 @@ class NativeBitIO:
                 continue
             break
         if n < 0:
-            raise StreamError(f"native parse error {n} at bit {errpos.value}")
+            names = {-1: "no PSC", -2: "bad VLC code", -3: "bad GN",
+                     -4: "output overflow", -5: "frame-cap overflow",
+                     -6: "forbidden value", -7: "truncated stream"}
+            raise StreamError(
+                f"{names.get(n, 'parse error')} at bit {errpos.value} "
+                f"(native code {n})")
         return n, out
 
     def parse_tensors(self, data: bytes, max_frames: int = 65536):
@@ -289,15 +328,21 @@ def load() -> Optional[NativeBitIO]:
     with _load_lock:
         if _cached is not None or _tried:
             return _cached
-        _tried = True
         # invoke make when possible: timestamp-based and near-free when
         # current, and it prevents running a stale .so after an ABI change
         # to bitio.cpp.  If the build fails (no toolchain, read-only dir)
         # but a prebuilt .so exists, still try to load it.
-        if not _build() and not os.path.exists(_SO):
-            return None
+        # NOTE: _tried is set only AFTER the attempt completes -- setting
+        # it first would let a concurrent caller's unlocked fast path see
+        # _tried=True with _cached still None mid-build and silently fall
+        # back to the ~100x slower Python engine (round-4 review finding).
         try:
-            _cached = NativeBitIO(C.CDLL(_SO))
-        except OSError:
-            return None
-        return _cached
+            if not _build() and not os.path.exists(_SO):
+                return None
+            try:
+                _cached = NativeBitIO(C.CDLL(_SO))
+            except OSError:
+                return None
+            return _cached
+        finally:
+            _tried = True

@@ -298,6 +298,7 @@ enum {
   P64_ERR_OVERFLOW = -4,
   P64_ERR_MAXFRAMES = -5,
   P64_ERR_FORBIDDEN = -6,
+  P64_ERR_TRUNCATED = -7,
 };
 
 static int parse_block(BitReader* r, const DecTables* t, int16_t* zz,
@@ -389,12 +390,18 @@ int64_t p64_parse(
   while (more) {
     ++f;
     if (f >= max_frames) return P64_ERR_MAXFRAMES;
-    // picture header (PSC already consumed)
+    // picture header (PSC already consumed).  br_read zero-pads past
+    // EOF, so a stream truncated inside the header would otherwise
+    // fabricate a bogus frame -- the Python oracle errors here; match it.
+    if (r.nbits - r.pos < 12) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
     out_tr[f] = (int32_t)br_read(&r, 5);
     uint32_t ptype = br_read(&r, 6);
     int is_cif = (ptype >> 2) & 1;
     out_fmt[f] = is_cif;
-    while (br_read(&r, 1)) br_read(&r, 8);  // PEI/PSPARE
+    while (br_read(&r, 1)) {  // PEI/PSPARE
+      if (r.nbits - r.pos < 9) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
+      br_read(&r, 8);
+    }
     const int32_t* perm = is_cif ? perm_cif : perm_qcif;
 
     // zero this frame's outputs

@@ -49,8 +49,8 @@ def test_truncated_streams(n):
             continue
         try:
             parser(data[:n])
-        except (parse.StreamError, EOFError):
-            pass
+        except parse.StreamError:
+            pass  # StreamError is the ONLY acceptable failure mode
 
 
 def test_truncated_mid_stream():
@@ -62,5 +62,18 @@ def test_truncated_mid_stream():
                 continue
             try:
                 parser(data[:cut])
-            except (parse.StreamError, EOFError):
-                pass
+            except parse.StreamError:
+                pass  # StreamError is the ONLY acceptable failure mode
+
+
+def test_truncated_picture_header_raises_both_parsers():
+    """A stream cut inside a picture header must RAISE StreamError in both
+    parsers -- the native engine used to zero-pad past EOF and fabricate a
+    bogus empty frame (round-4 review finding)."""
+    for bad in (b"\x00\x01\x00",       # bare PSC + 4 zero bits
+                b"\x00\x01\x0a"):      # PSC + 4 bits of TR
+        with pytest.raises(parse.StreamError):
+            parse.parse_stream(bad)
+        if native is not None:
+            with pytest.raises(parse.StreamError):
+                native.parse(bad)
