@@ -38,13 +38,30 @@ class DecisionConfig:
     filter_with_mc: bool = True
 
 
+def _sq_div256(s1: jnp.ndarray) -> jnp.ndarray:
+    """Exact s1*s1 // 256 without int32 overflow.
+
+    |s1| reaches 65280 for a 16x16 sum, so the naive square reaches
+    4.26e9 > 2^31 and WRAPS for any MB with mean luma > 181 (round-4
+    review finding: a flat bright MB got variance 65536 instead of 0,
+    silently flipping intra/inter decisions on bright content; jax
+    int64 is unavailable without x64 mode).  With a = |s1| = 256*q + r:
+    a^2 // 256 == 256*q*q + 2*q*r + (r*r) // 256 exactly -- the first
+    two terms are integers, so the floor applies only to r*r; all terms
+    stay < 2^25."""
+    a = jnp.abs(s1)
+    q = a >> 8
+    r = a & 255
+    return 256 * q * q + 2 * q * r + (r * r) // 256
+
+
 def activity(pixels: jnp.ndarray) -> jnp.ndarray:
     """Integer per-MB activity: (sum(x^2) - sum(x)^2 // 256) // 256 over the
     last two (16, 16) axes."""
     x = pixels.astype(jnp.int32)
     s1 = x.sum(axis=(-2, -1))
     s2 = (x * x).sum(axis=(-2, -1))
-    return (s2 - (s1 * s1) // 256) // 256
+    return (s2 - _sq_div256(s1)) // 256
 
 
 def decide_modes(cur_mbs: jnp.ndarray,
@@ -77,7 +94,7 @@ def decide_modes(cur_mbs: jnp.ndarray,
     diff = cur_mbs.astype(jnp.int32) - pred.astype(jnp.int32)
     s1 = diff.sum(axis=(-2, -1))
     s2 = (diff * diff).sum(axis=(-2, -1))
-    var_diff = (s2 - (s1 * s1) // 256) // 256
+    var_diff = (s2 - _sq_div256(s1)) // 256   # overflow-safe, see helper
 
     forced = refresh_count >= (INTRA_REFRESH_PERIOD - 1)
     intra = (force_intra_frame

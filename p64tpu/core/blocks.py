@@ -144,11 +144,3 @@ def assemble_mb_blocks(y_mbs: jnp.ndarray, cb: jnp.ndarray,
                        cr: jnp.ndarray) -> jnp.ndarray:
     """Like assemble_blocks but taking chroma PLANES (H/2, W/2)."""
     return assemble_blocks(y_mbs, chroma_to_blocks(cb), chroma_to_blocks(cr))
-
-
-def mb_positions(fmt: Format) -> np.ndarray:
-    """(nMB, 2) array of (y, x) top-left luma pixel of each raster MB."""
-    rows = np.arange(fmt.mb_rows) * MB_SIZE
-    cols = np.arange(fmt.mb_cols) * MB_SIZE
-    yy, xx = np.meshgrid(rows, cols, indexing="ij")
-    return np.stack([yy.ravel(), xx.ravel()], axis=-1).astype(np.int32)

@@ -176,14 +176,14 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
     # ---- per-GOB rate-control scan (transmission order) ----
     ngob = fmt.num_gobs
 
-    def t(x, *shape):
+    def t(x):
         return to_gob_order(fmt, x)
 
-    coefs_t = t(coefs, 6, 64)
+    coefs_t = t(coefs)
     intra_t = t(intra)
     mc_t = t(use_mc)
     fil_t = t(fil)
-    mv_t = t(mv, 2)
+    mv_t = t(mv)
 
     def quantize_derive(coefs_g, intra_g, mc_g, fil_g, q):
         """Quantize at quantizer q (scalar, broadcastable, or per-MB) and
@@ -310,10 +310,10 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         buffer_after = state["buffer"] + gob_bits.sum()
 
     # un-permute back to raster MB order (pure layout transform)
-    def untp(xt, *shape):
+    def untp(xt):
         return from_gob_order(fmt, xt)
 
-    levels = untp(levels_t, 6, 64).astype(jnp.int16)
+    levels = untp(levels_t).astype(jnp.int16)
     cbp = untp(cbp_t)
     mtype = untp(mtype_t)
     coded = untp(coded_t)

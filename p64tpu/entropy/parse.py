@@ -229,6 +229,17 @@ def _parse_gob(r: BitReader, out: ParsedFrame, gi: int,
                                _decode_vlc(r, luts.MVD_LUT, "MVD") - 16)
             mvy = _mv_from_mvd(pred[1],
                                _decode_vlc(r, luts.MVD_LUT, "MVD") - 16)
+            # H.261 3.2.1: MVs must not reference pixels outside the
+            # picture; the device MC path assumes this (core/predict.py)
+            # and would otherwise silently predict from zero padding
+            mb_cols = out.fmt.width // 16
+            y0 = (raster // mb_cols) * 16
+            x0 = (raster % mb_cols) * 16
+            if not (0 <= y0 + mvy and y0 + mvy + 16 <= out.fmt.height
+                    and 0 <= x0 + mvx and x0 + mvx + 16 <= out.fmt.width):
+                raise StreamError(
+                    f"MV ({mvx},{mvy}) at MB {raster} references outside "
+                    f"the picture (bit {r.pos})")
             out.mv[raster] = (mvx, mvy)
             prev_mv = (mvx, mvy)
             prev_was_mc = True

@@ -196,14 +196,7 @@ def sad_map(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     sads = jax.lax.map(row_sads, jnp.arange(-search, search + 1))
     sads = sads.reshape(side * side, n_mb)
 
-    # validity: MB top-left (y0, x0); window [y0+dy, y0+dy+16) must be in
-    # [0, h) (same for x).
-    y0 = (jnp.arange(n_mb, dtype=jnp.int32) // mb_cols) * MB_SIZE
-    x0 = (jnp.arange(n_mb, dtype=jnp.int32) % mb_cols) * MB_SIZE
-    offs = jnp.asarray(offset_table(search))
-    oy, ox = offs[:, 0:1], offs[:, 1:2]
-    valid = ((y0[None, :] + oy >= 0) & (y0[None, :] + oy + MB_SIZE <= h)
-             & (x0[None, :] + ox >= 0) & (x0[None, :] + ox + MB_SIZE <= w))
+    valid = _validity_mask(h, w, n_mb, mb_cols, search)
     big = jnp.int32(1 << 30)
     return jnp.where(valid, sads, big)
 

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..spec.constants import DEFAULT_SEARCH_RANGE, MB_SIZE
-from .me import offset_table, zero_offset_index
+from .me import _validity_mask, offset_table, zero_offset_index
 
 
 def _pool_matrices(h: int, w: int):
@@ -120,13 +120,7 @@ def sad_map_pallas(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     sads = jnp.swapaxes(out, 0, 1).reshape(side * side, n_mb)
     sads = sads.astype(jnp.int32)
 
-    # validity mask (identical to kernels.me.sad_map)
-    y0 = (jnp.arange(n_mb, dtype=jnp.int32) // mb_cols) * MB_SIZE
-    x0 = (jnp.arange(n_mb, dtype=jnp.int32) % mb_cols) * MB_SIZE
-    offs = jnp.asarray(offset_table(search))
-    oy, ox = offs[:, 0:1], offs[:, 1:2]
-    valid = ((y0[None, :] + oy >= 0) & (y0[None, :] + oy + MB_SIZE <= h)
-             & (x0[None, :] + ox >= 0) & (x0[None, :] + ox + MB_SIZE <= w))
+    valid = _me_validity(h, w, n_mb, mb_cols, search)
     big = jnp.int32(1 << 30)
     return jnp.where(valid, sads, big)
 
@@ -416,13 +410,9 @@ def sad_map_pallas_i8(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     return jnp.where(valid, sads, jnp.int32(1 << 30))
 
 
-def _me_validity(h, w, n_mb, mb_cols, search):
-    y0 = (jnp.arange(n_mb, dtype=jnp.int32) // mb_cols) * MB_SIZE
-    x0 = (jnp.arange(n_mb, dtype=jnp.int32) % mb_cols) * MB_SIZE
-    offs = jnp.asarray(offset_table(search))
-    oy, ox = offs[:, 0:1], offs[:, 1:2]
-    return ((y0[None, :] + oy >= 0) & (y0[None, :] + oy + MB_SIZE <= h)
-            & (x0[None, :] + ox >= 0) & (x0[None, :] + ox + MB_SIZE <= w))
+#: single home for the out-of-picture offset mask (round-4 dedup: four
+#: identical copies existed across me.py / me_pallas.py)
+_me_validity = _validity_mask
 
 
 def full_search_pallas(cur_y: jnp.ndarray, ref_y: jnp.ndarray,

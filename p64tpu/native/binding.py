@@ -229,7 +229,8 @@ class NativeBitIO:
         if n < 0:
             names = {-1: "no PSC", -2: "bad VLC code", -3: "bad GN",
                      -4: "output overflow", -5: "frame-cap overflow",
-                     -6: "forbidden value", -7: "truncated stream"}
+                     -6: "forbidden value", -7: "truncated stream",
+                     -8: "MV outside picture"}
             raise StreamError(
                 f"{names.get(n, 'parse error')} at bit {errpos.value} "
                 f"(native code {n})")

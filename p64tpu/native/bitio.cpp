@@ -299,6 +299,7 @@ enum {
   P64_ERR_MAXFRAMES = -5,
   P64_ERR_FORBIDDEN = -6,
   P64_ERR_TRUNCATED = -7,
+  P64_ERR_BAD_MV = -8,
 };
 
 static int parse_block(BitReader* r, const DecTables* t, int16_t* zz,
@@ -514,6 +515,18 @@ int64_t p64_parse(
           if (mv_from_mvd(py, t->mvd_sym[peek] - 16, &mvy) != P64_OK) {
             *err_bitpos = r.pos;
             return P64_ERR_BAD_CODE;
+          }
+          // H.261 3.2.1: the MV window must stay inside the picture
+          // (the batched device MC path assumes it; round-4 review)
+          {
+            int mb_cols = is_cif ? 22 : 11;
+            int h = is_cif ? 288 : 144, w = is_cif ? 352 : 176;
+            int y0 = (raster / mb_cols) * 16, x0 = (raster % mb_cols) * 16;
+            if (y0 + mvy < 0 || y0 + mvy + 16 > h ||
+                x0 + mvx < 0 || x0 + mvx + 16 > w) {
+              *err_bitpos = r.pos;
+              return P64_ERR_BAD_MV;
+            }
           }
           out_mv[(f * 396 + raster) * 2] = mvx;
           out_mv[(f * 396 + raster) * 2 + 1] = mvy;

@@ -17,6 +17,13 @@ def random_frame_symbols(fmt: Format, rng: np.random.Generator,
     mc = (~intra) & (rng.random(n) < 0.6)
     fil = mc & (rng.random(n) < 0.5)
     mv = np.where(mc[:, None], rng.integers(-15, 16, (n, 2)), 0).astype(np.int32)
+    # clip each MB's MV to the picture window (H.261 3.2.1: MVs must not
+    # reference outside the picture; both parsers now reject such streams)
+    mb_cols = fmt.width // 16
+    y0 = (np.arange(n) // mb_cols) * 16
+    x0 = (np.arange(n) % mb_cols) * 16
+    mv[:, 0] = np.clip(mv[:, 0], -x0, fmt.width - 16 - x0)
+    mv[:, 1] = np.clip(mv[:, 1], -y0, fmt.height - 16 - y0)
 
     levels = np.zeros((n, 6, 64), np.int16)
     sparse = rng.random((n, 6, 64)) < 0.08

@@ -277,3 +277,19 @@ def test_mquant_second_pass_cost_model():
     # effective-quant chain equals the segment quantizers directly
     np.testing.assert_array_equal(quant_t[0], qs2[seg_id])
     assert not np.array_equal(quant_t[0], qs1[seg_id])
+
+
+def test_activity_no_int32_overflow_on_bright_content():
+    """sum(x)^2 reaches 4.26e9 > 2^31 for mean luma > 181; the naive
+    int32 square wrapped and reported variance 65536 for a FLAT bright MB
+    (round-4 review finding).  activity must match the int64 oracle over
+    the full luma range, including the flat-255 extreme."""
+    for val in (182, 200, 255):
+        flat = jnp.full((1, 16, 16), val, jnp.int32)
+        assert int(decisions.activity(flat)[0]) == 0
+    x = RNG.integers(150, 256, (32, 16, 16))           # bright textured MBs
+    got = np.asarray(decisions.activity(jnp.asarray(x, jnp.int32)))
+    s1 = x.reshape(32, -1).sum(1).astype(np.int64)
+    s2 = (x.astype(np.int64) ** 2).reshape(32, -1).sum(1)
+    want = (s2 - (s1 * s1) // 256) // 256
+    np.testing.assert_array_equal(got, want)

@@ -122,3 +122,33 @@ def _parsers():
     if native is not None:
         ps.append(native.parse)
     return ps
+
+
+def test_mv_outside_picture_rejected_both_parsers():
+    """H.261 3.2.1: MVs must not reference outside the picture.  A stream
+    giving the top-left MB mv=(-15,-15) must raise StreamError in both
+    parsers (the device MC path would otherwise silently predict from
+    zero padding -- round-4 review finding)."""
+    import numpy as np
+    import pytest
+
+    from helpers import random_frame_symbols
+    from p64tpu.entropy import encode, parse
+    from p64tpu.native import load
+    from p64tpu.spec.constants import QCIF
+    from p64tpu.spec.tables import MTYPE_BY_NAME
+
+    rng = np.random.default_rng(88)
+    f = random_frame_symbols(QCIF, rng, tr=0, p_intra=0.0)
+    f.coded[0] = True
+    f.mtype[0] = MTYPE_BY_NAME["inter_mc"]
+    f.mv[0] = (-15, -15)                    # top-left MB: out of picture
+    f.cbp[0] = 0
+    f.levels[0] = 0
+    data, _ = encode.serialize_sequence(QCIF, [f])
+    with pytest.raises(parse.StreamError, match="outside"):
+        parse.parse_stream(data)
+    native = load()
+    if native is not None:
+        with pytest.raises(parse.StreamError, match="outside"):
+            native.parse(data)
