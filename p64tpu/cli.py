@@ -145,7 +145,9 @@ def run_decode(args) -> int:
               f"({parsed[0].fmt.name}); no -o given, not writing", flush=True)
         return 0
     if out.endswith(".y4m"):
-        yuv.write_y4m(out, frames)
+        # stamp the -f frame rate (batch_decode does the same; a fixed
+        # 30000:1001 header made 25 fps streams play at 29.97)
+        yuv.write_y4m(out, frames, (args.frame_rate, 1))
     elif out.endswith((".yuv", ".i420", ".raw")):
         yuv.write_raw(out, frames)
     else:

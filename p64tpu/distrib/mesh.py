@@ -78,10 +78,19 @@ def make_sharded_encoder(cfg: enc.EncoderConfig, mesh: Mesh):
         in_specs=(shard, shard), out_specs=(shard, shard, P()))
     def run(states, frames):
         st, out = _batched_encode(cfg, states, frames)
+        # aggregate bits as a 15-bit-split int32 pair: a single int32 sum
+        # wrapped past 2^31 total bits (~268 MB of streams per dispatch,
+        # reachable at the tool's target scale -- round-4 review finding;
+        # int64 needs x64 mode).  Per-STREAM totals are int32-safe (one
+        # stream per dispatch < 268 MB by construction); the split pair
+        # is exact up to ~2^46 total bits.  Recombine with
+        # agg_total_bits().
+        per_stream = out["total_bits"].sum(axis=-1)
         agg = dict(
-            total_bits=jax.lax.psum(
-                out["total_bits"].astype(jnp.int64 if jax.config.x64_enabled
-                                         else jnp.int32).sum(), STREAM_AXIS),
+            total_bits_lo=jax.lax.psum((per_stream & 32767).sum(),
+                                       STREAM_AXIS),
+            total_bits_hi=jax.lax.psum((per_stream >> 15).sum(),
+                                       STREAM_AXIS),
             total_sse_y=jax.lax.psum(out["sse_y"].sum(), STREAM_AXIS),
             frames_coded=jax.lax.psum(
                 out["frame_coded"].sum().astype(jnp.int32), STREAM_AXIS),
@@ -89,6 +98,11 @@ def make_sharded_encoder(cfg: enc.EncoderConfig, mesh: Mesh):
         return st, out, agg
 
     return jax.jit(run)
+
+
+def agg_total_bits(agg) -> int:
+    """Exact aggregate bit count from the split int32 psum pair."""
+    return (int(agg["total_bits_hi"]) << 15) + int(agg["total_bits_lo"])
 
 
 def shard_batch(mesh: Mesh, tree):

@@ -40,6 +40,11 @@ def initialize(coordinator: Optional[str] = None,
                                process_id=process_id)
 
 
+#: compiled global encoders keyed on (cfg, mesh); process-long by design
+#: (see batch_encode._ENCODER_CACHE for the lifetime rationale)
+_GLOBAL_ENCODER_CACHE: Dict = {}
+
+
 def global_mesh() -> "jax.sharding.Mesh":
     """Mesh over ALL devices (all hosts) on the streams axis."""
     return dm.make_mesh(devices=jax.devices())
@@ -72,7 +77,13 @@ def encode_global(cfg: enc.EncoderConfig, mesh, local_frames: Dict,
     else:
         frames_g = dm.shard_batch(mesh, local_frames)
         states_g = dm.shard_batch(mesh, states)
-    run = dm.make_sharded_encoder(cfg, mesh)
+    key = (cfg, mesh)
+    if key not in _GLOBAL_ENCODER_CACHE:
+        # a fresh jit per call would re-trace/re-compile every invocation
+        # (the round-3 finding batch_encode._ENCODER_CACHE fixed; same
+        # treatment here for driver loops calling encode_global per chunk)
+        _GLOBAL_ENCODER_CACHE[key] = dm.make_sharded_encoder(cfg, mesh)
+    run = _GLOBAL_ENCODER_CACHE[key]
     new_states, outputs, agg = run(states_g, frames_g)
     del n_global
     return new_states, outputs, agg

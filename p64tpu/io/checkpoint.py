@@ -21,23 +21,36 @@ import jax.numpy as jnp
 
 def save(path: str, state, streams: Optional[List[bytes]] = None,
          meta: Optional[Dict] = None) -> None:
-    """Persist encoder state (single- or multi-stream pytree dict)."""
+    """Persist encoder state (single- or multi-stream pytree dict).
+
+    Crash-safe: every file is written to a temp name and os.replace()d
+    into place LAST (round-4 review finding: a preemption mid-save used
+    to destroy the only checkpoint -- the exact event this module exists
+    to survive), and a state-only save removes any stale .bits so load()
+    can never pair new state with old stream bytes."""
     arrays = {k: np.asarray(v) for k, v in state.items()}
-    np.savez_compressed(path + ".npz", **arrays)
+    np.savez_compressed(path + ".npz.tmp.npz", **arrays)
     blob = {
         "meta": meta or {},
         "n_streams": (int(arrays["frame_idx"].shape[0])
                       if arrays["frame_idx"].ndim else 0),
     }
-    with open(path + ".json", "w") as f:
+    with open(path + ".json.tmp", "w") as f:
         json.dump(blob, f)
     if streams is not None:
-        with open(path + ".bits", "wb") as f:
+        with open(path + ".bits.tmp", "wb") as f:
             lengths = np.asarray([len(s) for s in streams], np.int64)
             f.write(np.int64(len(streams)).tobytes())
             f.write(lengths.tobytes())
             for s in streams:
                 f.write(s)
+    # publish atomically, .npz last (load() keys off it)
+    if streams is not None:
+        os.replace(path + ".bits.tmp", path + ".bits")
+    elif os.path.exists(path + ".bits"):
+        os.remove(path + ".bits")
+    os.replace(path + ".json.tmp", path + ".json")
+    os.replace(path + ".npz.tmp.npz", path + ".npz")
 
 
 def load(path: str) -> Tuple[Dict[str, jnp.ndarray], List[bytes], Dict]:

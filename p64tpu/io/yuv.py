@@ -38,7 +38,8 @@ def _split_frames(raw: np.ndarray, fmt: Format) -> Dict[str, np.ndarray]:
 def read_raw(path: str, fmt: Format,
              max_frames: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Concatenated planar I420 file -> dict of (T,...) uint8 arrays."""
-    raw = np.fromfile(path, dtype=np.uint8)
+    count = -1 if max_frames is None else max_frames * frame_nbytes(fmt)
+    raw = np.fromfile(path, dtype=np.uint8, count=count)
     frames = _split_frames(raw, fmt)
     if max_frames is not None:
         frames = {k: v[:max_frames] for k, v in frames.items()}
@@ -100,8 +101,12 @@ def read_y4m(path: str,
                 w = int(tok[1:])
             elif tok.startswith(b"H"):
                 h = int(tok[1:])
-            elif tok.startswith(b"C") and not tok.startswith(b"C420"):
-                raise ValueError(f"{path}: only 4:2:0 y4m supported, "
+            elif tok.startswith(b"C") and tok not in (
+                    b"C420", b"C420jpeg", b"C420paldv", b"C420mpeg2"):
+                # NOTE: a bare startswith(C420) would also accept the
+                # 10/12-bit tags (C420p10, ...) and misparse 16-bit
+                # samples as 8-bit pixels
+                raise ValueError(f"{path}: only 8-bit 4:2:0 y4m supported, "
                                  f"got {tok!r}")
         if w is None or h is None:
             raise ValueError(f"{path}: missing W/H in y4m header")
@@ -121,6 +126,8 @@ def read_y4m(path: str,
             ys.append(fr["y"][0])
             cbs.append(fr["cb"][0])
             crs.append(fr["cr"][0])
+    if not ys:
+        raise ValueError(f"{path}: no frames after the y4m header")
     return dict(y=np.stack(ys), cb=np.stack(cbs), cr=np.stack(crs)), fmt
 
 
@@ -142,9 +149,10 @@ def load_input(path: str, fmt: Optional[Format] = None,
                ) -> Tuple[Dict[str, np.ndarray], Format]:
     """Auto-detecting loader: .y4m, raw .yuv/.i420 (needs fmt), or a PVRG
     prefix (needs fmt).  Applies the [first, last] frame range."""
+    stop = None if last is None else last + 1
     if path.endswith(".y4m"):
         want = fmt
-        frames, fmt = read_y4m(path)
+        frames, fmt = read_y4m(path, max_frames=stop)
         if want is not None and want is not fmt:
             raise ValueError(
                 f"{path} is {fmt.name} ({fmt.width}x{fmt.height}) but "
@@ -154,7 +162,7 @@ def load_input(path: str, fmt: Optional[Format] = None,
         if fmt is None:
             raise ValueError("raw YUV input needs an explicit format "
                              "(CIF/QCIF)")
-        frames = read_raw(path, fmt)
+        frames = read_raw(path, fmt, max_frames=stop)
     else:
         if path.endswith((".yuv", ".i420", ".raw", ".y4m")):
             raise FileNotFoundError(f"input file not found: {path}")
@@ -171,7 +179,6 @@ def load_input(path: str, fmt: Optional[Format] = None,
                 last += 1
         frames = read_pvrg(path, fmt, first, last)
         return frames, fmt
-    stop = None if last is None else last + 1
     frames = {k: v[first:stop] for k, v in frames.items()}
     return frames, fmt
 

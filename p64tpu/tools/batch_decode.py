@@ -12,7 +12,6 @@ One .y4m per input is written to outdir.
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import sys
 import time
@@ -33,10 +32,8 @@ def main(argv=None) -> int:
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
-    paths: List[str] = []
-    for pat in args.inputs:
-        hits = sorted(glob.glob(pat))
-        paths.extend(hits if hits else [pat])
+    from ..utils import expand_inputs
+    paths: List[str] = expand_inputs(args.inputs)
     if not paths:
         print("no inputs", file=sys.stderr)
         return 1

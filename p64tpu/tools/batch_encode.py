@@ -15,7 +15,6 @@ Under `jax.distributed` each host runs this on its local shard
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import sys
 import time
@@ -48,7 +47,6 @@ def _dispatch_shard(cfg: enc.EncoderConfig, batch: Dict[str, np.ndarray]):
     host serialization of earlier shards.  Device-side errors surface when
     the outputs are forced (in serialize_streams)."""
     import jax
-    import jax.numpy as jnp
 
     n = batch["y"].shape[0]
     n_dev = min(jax.device_count(), n)
@@ -61,8 +59,10 @@ def _dispatch_shard(cfg: enc.EncoderConfig, batch: Dict[str, np.ndarray]):
         mesh = dm.make_mesh(n_dev)
         _ENCODER_CACHE[key] = (mesh, dm.make_sharded_encoder(cfg, mesh))
     mesh, run = _ENCODER_CACHE[key]
-    frames = dm.shard_batch(mesh, {k: jnp.asarray(v)
-                                   for k, v in batch.items()})
+    # numpy straight into shard_batch: device_put with a NamedSharding
+    # slices host memory per device; a jnp.asarray here would stage the
+    # WHOLE batch through device 0's HBM first (round-4 review finding)
+    frames = dm.shard_batch(mesh, batch)
     states = dm.shard_batch(mesh, dm.init_states(cfg, n + pad))
     _, outputs, _ = run(states, frames)
     return outputs, n
@@ -191,10 +191,8 @@ def main(argv=None) -> int:
               f"{args.search}", file=sys.stderr)
         return 1
 
-    paths: List[str] = []
-    for pat in args.inputs:
-        hits = sorted(glob.glob(pat))
-        paths.extend(hits if hits else [pat])
+    from ..utils import expand_inputs
+    paths: List[str] = expand_inputs(args.inputs)
     if not paths:
         print("no inputs", file=sys.stderr)
         return 1

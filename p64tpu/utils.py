@@ -23,3 +23,15 @@ def fan_map(fn: Callable[[_T], _R], items: Sequence[_T]) -> List[_R]:
     workers = min(len(items), (os.cpu_count() or 2))
     with ThreadPoolExecutor(max_workers=workers) as pool:
         return list(pool.map(fn, items))
+
+
+def expand_inputs(patterns):
+    """Glob-expand CLI input patterns (shared by batch_encode /
+    batch_decode -- round-4 dedup); non-matching patterns pass through
+    as literal paths so downstream loaders report them."""
+    import glob as _glob
+    paths = []
+    for pat in patterns:
+        hits = sorted(_glob.glob(pat))
+        paths.extend(hits if hits else [pat])
+    return paths

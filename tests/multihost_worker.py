@@ -52,6 +52,7 @@ def main() -> int:
         sys.path.insert(0, repo)
     from p64tpu.control.ratecontrol import RateConfig
     from p64tpu.core import encoder as enc
+    from p64tpu.distrib import mesh as dm
     from p64tpu.distrib import multihost as mh
     from p64tpu.spec.constants import QCIF
 
@@ -78,7 +79,7 @@ def main() -> int:
         json.dump({
             "pid": pid,
             "global_devices": jax.device_count(),
-            "total_bits": int(agg["total_bits"]),
+            "total_bits": dm.agg_total_bits(agg),
             "frames_coded": int(agg["frames_coded"]),
             "local_sha": [hashlib.sha256(d).hexdigest() for d, _ in streams],
             "local_bits": [n for _, n in streams],

@@ -51,7 +51,7 @@ def test_sharded_encode_matches_sequential():
                 np.asarray(out_sh[key])[s], np.asarray(out_one[key]),
                 err_msg=f"stream {s} key {key}")
 
-    assert int(agg["total_bits"]) == int(
+    assert dm.agg_total_bits(agg) == int(
         np.asarray(out_sh["total_bits"]).sum())
     assert int(agg["frames_coded"]) == n_streams * t
 
