@@ -14,6 +14,16 @@ vectorized encoder and the table-driven decoders.
 Conventions:
   * bitstring '0001' is transmitted MSB-first, i.e. 0,0,0,1.
   * TCOEFF sign bit s: 0 => positive level, 1 => negative level.
+
+Round-4 independent cross-check: because encoder and decoder share these
+tables, self-consistent tests cannot catch a transcription error, so the
+tables were re-verified entry by entry against the MPEG-1 tables that
+H.261 shares by construction (ISO 11172-2 B.1 macroblock_address_increment
+== MBA incl. stuffing/escape space, B.4 motion codes == MVD incl. the
+MBA-skeleton order 0,-1,+1,...,-16, B.3 coded_block_pattern == CBP, B.5
+dct coefficients == TCOEFF incl. EOB '10', first-(0,1) '1', escape
+'000001' + 6-bit run + 8-bit level with 0/-128 forbidden) plus the
+H.261-only MTYPE table.  All entries match.
 """
 
 from __future__ import annotations
