@@ -65,3 +65,29 @@ def test_resume_bitstream_identical(tmp_path):
               "n_stuff"):
         np.testing.assert_array_equal(
             np.asarray(out2[k]), np.asarray(out_full[k])[3:], err_msg=k)
+
+
+def test_state_only_save_removes_stale_bits(tmp_path):
+    """A state-only save must not leave a previous save's .bits on disk:
+    load() would pair new state with old stream bytes and the resumed
+    bitstream would silently duplicate frames (round-4 review finding).
+    Also checks no .tmp litter survives a successful save."""
+    import os
+
+    import jax.numpy as jnp
+
+    from p64tpu.io import checkpoint
+
+    ck = str(tmp_path / "ck")
+    state = dict(frame_idx=jnp.asarray([3, 3]),
+                 buffer=jnp.asarray([7, 9]))
+    checkpoint.save(ck, state, streams=[b"abc", b"defg"])
+    st, streams, _ = checkpoint.load(ck)
+    assert streams == [b"abc", b"defg"]
+
+    checkpoint.save(ck, state)            # state-only
+    st, streams, _ = checkpoint.load(ck)
+    assert streams == []                  # stale .bits must be gone
+    assert not os.path.exists(ck + ".bits")
+    assert not any(f.endswith(".tmp") or ".tmp." in f
+                   for f in os.listdir(tmp_path))
