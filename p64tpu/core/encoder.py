@@ -48,9 +48,23 @@ from ..kernels.me import full_search
 from ..kernels.quant import quantize_zz
 from ..spec.constants import (
     DEFAULT_SEARCH_RANGE,
+    INTRA_DC_MAX,
+    INTRA_DC_MIN,
+    LEVEL_CLAMP,
     MBS_PER_GOB,
     Format,
 )
+
+# The symbol tensors ship levels as int8 plus a uint8 intra-DC sidecar
+# (`levels8`/`dc_intra` packing in _encode_picture).  Those casts are only
+# lossless while the quantizer clamps hold (kernels/quant.py): ACs and the
+# inter DC within +/-127, intra DC within 0..255.  Fail at import if anyone
+# widens the clamps without widening the packing (round-4 advisor finding:
+# the invariant was enforced two modules away with nothing guarding the
+# cast site; mirrors the MBA-stuffing pin in native/binding.py).
+assert LEVEL_CLAMP <= 127, "levels8 int8 packing requires |level| <= 127"
+assert 0 <= INTRA_DC_MIN and INTRA_DC_MAX <= 255, \
+    "dc_intra uint8 sidecar requires intra DC within 0..255"
 from ..spec.tables import MTYPE_BY_NAME
 from .blocks import (
     assemble_blocks,

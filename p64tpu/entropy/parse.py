@@ -192,6 +192,15 @@ def _parse_gob(r: BitReader, out: ParsedFrame, gi: int,
     prev_was_mc = False
     while True:
         rem = r.remaining
+        if rem < 0:
+            # a VLC peek zero-padded past EOF matched a code longer than
+            # the remaining real bits (possible for any code with trailing
+            # zero bits) and skip() overran -- a truncated stream, not a
+            # successful end-of-data (and without this check the
+            # peek(min(rem, 24)) below would raise a negative-shift
+            # ValueError instead of the module's declared StreamError)
+            raise StreamError(f"truncated stream (VLC ran past EOF at "
+                              f"bit {r.nbits})")
         if rem == 0:
             return
         if rem >= 16 and r.peek(16) == 1:

@@ -3,11 +3,20 @@
 Reference reality: none -- a crashed encode restarts from frame 0 (SURVEY
 section 5).  The codec-domain analogue the TPU build implements: encoder
 state is tiny (reconstructed reference planes + refresh counters + buffer +
-frame index), so any frame boundary is a resume point.  A checkpoint is a
-host-side .npz of the per-stream state plus the bytes of each per-stream
-bitstream emitted so far; `resume` reloads the state and the encoder simply
-continues -- the concatenated bitstream is identical to an uninterrupted
-run (tested in tests/test_checkpoint.py)."""
+frame index), so any frame boundary is a resume point.  A checkpoint holds
+the per-stream state plus the bytes of each per-stream bitstream emitted so
+far; `resume` reloads the state and the encoder simply continues -- the
+concatenated bitstream is identical to an uninterrupted run (tested in
+tests/test_checkpoint.py).
+
+Crash safety: everything (state arrays, stream bytes, meta) lives in ONE
+.npz published by a single fsync'd os.replace, so state<->bits pairing is
+atomic by construction.  The previous layout used three files replaced in
+sequence; a round-4 advisor finding showed a crash between the replaces
+could pair NEW stream bytes with OLD state (resume would then re-encode
+frames already in the bitstream, duplicating them) -- a whole class of bug
+the single-file design removes rather than detects.
+"""
 
 from __future__ import annotations
 
@@ -18,51 +27,59 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+# state keys are stored under this prefix so they can never collide with
+# the checkpoint's own bookkeeping entries below
+_STATE = "state/"
+_BITS = "__bits__"
+_LENS = "__bits_lengths__"
+_META = "__meta_json__"
+
 
 def save(path: str, state, streams: Optional[List[bytes]] = None,
          meta: Optional[Dict] = None) -> None:
     """Persist encoder state (single- or multi-stream pytree dict).
 
-    Crash-safe: every file is written to a temp name and os.replace()d
-    into place LAST (round-4 review finding: a preemption mid-save used
-    to destroy the only checkpoint -- the exact event this module exists
-    to survive), and a state-only save removes any stale .bits so load()
-    can never pair new state with old stream bytes."""
-    arrays = {k: np.asarray(v) for k, v in state.items()}
-    np.savez_compressed(path + ".npz.tmp.npz", **arrays)
-    blob = {
-        "meta": meta or {},
-        "n_streams": (int(arrays["frame_idx"].shape[0])
-                      if arrays["frame_idx"].ndim else 0),
-    }
-    with open(path + ".json.tmp", "w") as f:
-        json.dump(blob, f)
+    Atomic and power-loss-safe: one temp file, fsync'd, then one
+    os.replace, then the directory fsync'd -- either the old checkpoint
+    or the complete new one exists, never a mix."""
+    payload = {_STATE + k: np.asarray(v) for k, v in state.items()}
     if streams is not None:
-        with open(path + ".bits.tmp", "wb") as f:
-            lengths = np.asarray([len(s) for s in streams], np.int64)
-            f.write(np.int64(len(streams)).tobytes())
-            f.write(lengths.tobytes())
-            for s in streams:
-                f.write(s)
-    # publish atomically, .npz last (load() keys off it)
-    if streams is not None:
-        os.replace(path + ".bits.tmp", path + ".bits")
-    elif os.path.exists(path + ".bits"):
-        os.remove(path + ".bits")
-    os.replace(path + ".json.tmp", path + ".json")
-    os.replace(path + ".npz.tmp.npz", path + ".npz")
+        payload[_LENS] = np.asarray([len(s) for s in streams], np.int64)
+        payload[_BITS] = np.frombuffer(b"".join(streams), np.uint8)
+    payload[_META] = np.frombuffer(
+        json.dumps(meta or {}).encode(), np.uint8)
+
+    tmp = path + ".npz.tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path + ".npz")
+    dirfd = os.open(os.path.dirname(os.path.abspath(path)) or ".",
+                    os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
+    # hygiene: drop companions left by the pre-round-5 three-file layout
+    # (load() never reads them, but a stale .bits invites confusion)
+    for ext in (".bits", ".json"):
+        if os.path.exists(path + ext):
+            os.remove(path + ext)
 
 
 def load(path: str) -> Tuple[Dict[str, jnp.ndarray], List[bytes], Dict]:
     """Returns (state, per-stream bytes so far, meta)."""
     with np.load(path + ".npz") as z:
-        state = {k: jnp.asarray(z[k]) for k in z.files}
-    with open(path + ".json") as f:
-        blob = json.load(f)
-    streams: List[bytes] = []
-    if os.path.exists(path + ".bits"):
-        with open(path + ".bits", "rb") as f:
-            n = int(np.frombuffer(f.read(8), np.int64)[0])
-            lengths = np.frombuffer(f.read(8 * n), np.int64)
-            streams = [f.read(int(l)) for l in lengths]
-    return state, streams, blob.get("meta", {})
+        state = {k[len(_STATE):]: jnp.asarray(z[k]) for k in z.files
+                 if k.startswith(_STATE)}
+        meta = json.loads(z[_META].tobytes().decode()) if _META in z.files \
+            else {}
+        streams: List[bytes] = []
+        if _LENS in z.files:
+            blob = z[_BITS].tobytes()
+            off = 0
+            for l in z[_LENS]:
+                streams.append(blob[off:off + int(l)])
+                off += int(l)
+    return state, streams, meta

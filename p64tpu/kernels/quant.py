@@ -29,6 +29,8 @@ import numpy as np
 from ..spec.constants import (
     COEFF_CLAMP_MAX,
     COEFF_CLAMP_MIN,
+    INTRA_DC_MAX,
+    INTRA_DC_MIN,
     LEVEL_CLAMP,
 )
 from ..spec.zigzag import INV_ZIGZAG, ZIGZAG
@@ -86,7 +88,7 @@ def quantize(coefs: jnp.ndarray, quant: jnp.ndarray,
     av = jnp.abs(coefs)
     ac = jnp.sign(coefs) * ((av * m) >> _DIV_K)
     ac = jnp.clip(ac, -LEVEL_CLAMP, LEVEL_CLAMP)
-    dc_intra = jnp.clip((coefs + 4) >> 3, 1, 254)
+    dc_intra = jnp.clip((coefs + 4) >> 3, INTRA_DC_MIN, INTRA_DC_MAX)
     dc_mask = jnp.zeros((8, 8), dtype=bool).at[0, 0].set(True)
     out = jnp.where(jnp.logical_and(intra, dc_mask), dc_intra, ac)
     return zigzag_scan(out)
@@ -110,7 +112,7 @@ def quantize_zz(coefs_zz: jnp.ndarray, quant: jnp.ndarray,
     av = jnp.abs(coefs)
     ac = jnp.sign(coefs) * ((av * m) >> _DIV_K)
     ac = jnp.clip(ac, -LEVEL_CLAMP, LEVEL_CLAMP)
-    dc_intra = jnp.clip((coefs + 4) >> 3, 1, 254)
+    dc_intra = jnp.clip((coefs + 4) >> 3, INTRA_DC_MIN, INTRA_DC_MAX)
     slot0 = jnp.zeros(64, dtype=bool).at[0].set(True)
     return jnp.where(jnp.logical_and(intra, slot0), dc_intra, ac)
 

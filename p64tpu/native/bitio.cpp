@@ -307,6 +307,7 @@ static int parse_block(BitReader* r, const DecTables* t, int16_t* zz,
   int pos = 0;
   int first = !intra;
   if (intra) {
+    if (r->nbits - r->pos < 8) return P64_ERR_TRUNCATED;
     uint32_t code = br_read(r, 8);
     if (code == 0 || code == 128) return P64_ERR_FORBIDDEN;
     zz[0] = (int16_t)(code == 255 ? 128 : code);
@@ -328,6 +329,7 @@ static int parse_block(BitReader* r, const DecTables* t, int16_t* zz,
     int run, level;
     if (k == 2) {  // escape
       r->pos += 6;
+      if (r->nbits - r->pos < 14) return P64_ERR_TRUNCATED;
       run = (int)br_read(r, 6);
       int lv = (int)br_read(r, 8);
       if (lv == 0 || lv == 0x80) return P64_ERR_FORBIDDEN;
@@ -441,10 +443,22 @@ int64_t p64_parse(
         else if (gn == 5) gi = 2;
       }
       if (gi < 0) { *err_bitpos = r.pos; return P64_ERR_BAD_GN; }
+      // GQUANT(5) + first GEI flag(1); then each taken GEI needs
+      // GSPARE(8) + next flag(1).  Same induction as the picture-level
+      // PEI loop above: every fixed-width read below is backed by real
+      // bits, so a stream truncated inside the GOB header is rejected
+      // exactly where the Python oracle's r.read() raises (round-4
+      // advisor finding: br_read zero-pads, so mid-GEI truncation used
+      // to terminate as a successfully parsed frame here while the
+      // oracle raised StreamError).
+      if (r.nbits - r.pos < 6) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
       uint32_t gquant = br_read(&r, 5);
       if (gquant == 0) { *err_bitpos = r.pos; return P64_ERR_FORBIDDEN; }
       out_gquant[f * 12 + gi] = (int32_t)gquant;
-      while (br_read(&r, 1)) br_read(&r, 8);  // GEI/GSPARE
+      while (br_read(&r, 1)) {  // GEI/GSPARE
+        if (r.nbits - r.pos < 9) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
+        br_read(&r, 8);
+      }
       int quant = (int)gquant;
       int addr = -1;
       int prev_mvx = 0, prev_mvy = 0, prev_was_mc = 0;
@@ -455,6 +469,11 @@ int64_t p64_parse(
       // trailing MC-no-coeff macroblock).
       for (;;) {
         int64_t rem = r.nbits - r.pos;
+        // rem < 0 means a VLC peek zero-padded past EOF matched a code
+        // longer than the remaining real bits (possible for any code
+        // with trailing zero bits) and the skip overran -- that is a
+        // truncated stream, not a successful end-of-data.
+        if (rem < 0) { *err_bitpos = r.nbits; return P64_ERR_TRUNCATED; }
         if (rem == 0) break;
         if (rem >= 16 && br_peek(&r, 16) == 1) break;  // next start code
         if (rem < 24 && br_peek(&r, (int)rem) == 0) break;  // zero-pad tail
@@ -492,6 +511,7 @@ int64_t p64_parse(
         const uint8_t* fl = t->mtype_flags + mt * 6;
         int intra = fl[0];
         if (fl[1]) {  // MQUANT
+          if (r.nbits - r.pos < 5) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
           quant = (int)br_read(&r, 5);
           if (quant == 0) { *err_bitpos = r.pos; return P64_ERR_FORBIDDEN; }
         }

@@ -86,6 +86,12 @@ COEFF_CLAMP_MAX = 2047
 #: forbidden (H.261 section 4.2.4.3) => |level| <= 127.
 LEVEL_CLAMP = 127
 
+#: Intra DC level range: the DC FLC is 8 bits with codes 0000 0000 and
+#: 1000 0000 forbidden and level 128 transmitted as code 1111 1111
+#: (H.261 section 4.2.4.1) => representable levels are 1..254.
+INTRA_DC_MIN = 1
+INTRA_DC_MAX = 254
+
 
 @dataclasses.dataclass(frozen=True)
 class Format:

@@ -68,10 +68,12 @@ def test_resume_bitstream_identical(tmp_path):
 
 
 def test_state_only_save_removes_stale_bits(tmp_path):
-    """A state-only save must not leave a previous save's .bits on disk:
+    """A state-only save must not leave previous stream bytes visible:
     load() would pair new state with old stream bytes and the resumed
-    bitstream would silently duplicate frames (round-4 review finding).
-    Also checks no .tmp litter survives a successful save."""
+    bitstream would silently duplicate frames (round-4 review finding;
+    structurally impossible since the round-5 single-file layout, but the
+    behavior stays pinned).  Also checks no .tmp litter survives and that
+    stale pre-round-5 companion files (.bits/.json) are cleaned up."""
     import os
 
     import jax.numpy as jnp
@@ -81,13 +83,40 @@ def test_state_only_save_removes_stale_bits(tmp_path):
     ck = str(tmp_path / "ck")
     state = dict(frame_idx=jnp.asarray([3, 3]),
                  buffer=jnp.asarray([7, 9]))
+    # simulate leftovers from the old three-file layout
+    open(ck + ".bits", "wb").close()
+    open(ck + ".json", "w").close()
     checkpoint.save(ck, state, streams=[b"abc", b"defg"])
     st, streams, _ = checkpoint.load(ck)
     assert streams == [b"abc", b"defg"]
+    assert not os.path.exists(ck + ".bits")
+    assert not os.path.exists(ck + ".json")
 
     checkpoint.save(ck, state)            # state-only
     st, streams, _ = checkpoint.load(ck)
-    assert streams == []                  # stale .bits must be gone
-    assert not os.path.exists(ck + ".bits")
+    assert streams == []                  # stale stream bytes must be gone
     assert not any(f.endswith(".tmp") or ".tmp." in f
                    for f in os.listdir(tmp_path))
+
+
+def test_interrupted_save_leaves_old_checkpoint_loadable(tmp_path):
+    """A crash mid-save (temp file written but never published) must leave
+    the previous checkpoint fully intact -- the single-file design's whole
+    point.  A lingering temp must also not confuse a later save/load."""
+    import jax.numpy as jnp
+
+    from p64tpu.io import checkpoint
+
+    ck = str(tmp_path / "ck")
+    state1 = dict(frame_idx=jnp.asarray([1]))
+    checkpoint.save(ck, state1, streams=[b"v1"], meta={"v": 1})
+    # simulate a crash: a half-written temp from a newer save attempt
+    with open(ck + ".npz.tmp.npz", "wb") as f:
+        f.write(b"garbage not an npz")
+    st, streams, meta = checkpoint.load(ck)
+    assert streams == [b"v1"] and meta == {"v": 1}
+    assert int(st["frame_idx"][0]) == 1
+    # and a subsequent good save simply wins
+    checkpoint.save(ck, dict(frame_idx=jnp.asarray([2])), streams=[b"v2"])
+    st, streams, _ = checkpoint.load(ck)
+    assert streams == [b"v2"] and int(st["frame_idx"][0]) == 2
