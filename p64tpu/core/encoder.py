@@ -238,27 +238,59 @@ def _encode_picture(cfg: EncoderConfig, state, cur_y, cur_cb, cur_cr):
         pass 1b re-runs the bit model at those provisional quantizers, so
         each segment's buffer projection sees earlier segments' costs at
         the quant they will actually use (the q0-only model is biased
-        exactly when MQUANT matters, i.e. when q_seg diverges from q0)."""
+        exactly when MQUANT matters, i.e. when q_seg diverges from q0).
+
+        Both passes price MQUANT signaling (round-4 verdict item 6): a
+        segment whose quantizer changes costs an extra 5-bit MQUANT field
+        plus the MQUANT-variant MTYPE length delta on its first
+        coefficient-bearing MB, and later segments' buffer projections see
+        that cost.  (The *emitted* bits were always exact -- the real pass
+        below uses the upgraded MTYPEs -- only the model used to choose
+        the segment quantizers skipped it, biasing it toward switching.)"""
         nseg = cfg.rate.mquant_segments
         seg_id = jnp.asarray((np.arange(MBS_PER_GOB) * nseg) // MBS_PER_GOB)
         seg_oh = seg_id[None, :] == jnp.arange(nseg)[:, None]     # (S, 33)
         q0 = gob_quant(cfg.rate, buffer)
+        mtype_len = jnp.asarray(lengths.MTYPE_LEN)
+        mq_up = jnp.asarray(_MQ_UPGRADE)
 
         def model_bits(q_mb_vec):
             """Per-MB modeled payload bits at a per-MB quantizer vector
-            (same masking rules as the real pass below via quantize_derive;
-            MQUANT signaling overhead is not modeled -- both passes agree
-            on that)."""
-            lv, cb, _, cd, mt = quantize_derive(
+            (same masking rules as the real pass below via quantize_derive)
+            plus the coefficient mask and MTYPEs the signaling pricing
+            needs."""
+            lv, cb, hc, cd, mt = quantize_derive(
                 coefs_g, intra_g, mc_g, fil_g, q_mb_vec[:, None, None])
-            return lengths.gob_payload_bits_per_mb(cd, mt, mv_g, cb, lv)
+            return (lengths.gob_payload_bits_per_mb(cd, mt, mv_g, cb, lv),
+                    hc, mt)
 
-        def seg_quants(mb_bits):
-            """Segment quantizers from a per-MB bit model."""
+        def seg_quants(model):
+            """Segment quantizers from a per-MB bit model, pricing each
+            quantizer change's signaling cost into later segments' buffer
+            projections.  Sequential over segments to mirror the real
+            effective-quant chain below (nseg is small; unrolled in jit)."""
+            mb_bits, hc, mt = model
             seg_bits = jnp.where(seg_oh, mb_bits[None, :], 0).sum(-1)
-            prefix = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                      jnp.cumsum(seg_bits)[:-1]])
-            return gob_quant(cfg.rate, buffer + prefix)           # (S,)
+            segcoef = seg_oh & hc[None, :]                        # (S, 33)
+            any_coef = segcoef.any(-1)
+            first = jnp.argmax(segcoef, axis=-1)                  # (S,)
+            sig_cost = jnp.where(
+                any_coef,
+                lengths.MQUANT_BITS
+                + mtype_len[mq_up[mt[first]]] - mtype_len[mt[first]],
+                0).astype(jnp.int32)
+            qs = []
+            eff = q0
+            acc = jnp.int32(0)
+            for s in range(nseg):
+                q_s = gob_quant(cfg.rate, buffer + acc)
+                qs.append(q_s)
+                if s > 0:
+                    change = any_coef[s] & (q_s != eff)
+                    eff = jnp.where(change, q_s, eff)
+                    acc = acc + jnp.where(change, sig_cost[s], 0)
+                acc = acc + seg_bits[s]
+            return jnp.stack(qs)                                  # (S,)
 
         # pass 1: bits at q0 -> provisional segment quantizers
         q_seg1 = seg_quants(model_bits(q0 + jnp.zeros(MBS_PER_GOB,

@@ -64,6 +64,9 @@ _MTYPE_TCOEFF = luts.MTYPE_TCOEFF.astype(np.bool_)
 _MTYPE_INTRA = luts.MTYPE_INTRA.astype(np.bool_)
 _MTYPE_MQUANT = luts.MTYPE_MQUANT.astype(np.bool_)
 MQUANT_BITS = 5
+#: public view of the MTYPE code lengths: the encoder's MQUANT segment
+#: cost model prices the MTYPE upgrade delta (core/encoder.py)
+MTYPE_LEN = _MTYPE_LEN
 
 
 def _sel(table: np.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -205,9 +205,13 @@ def _graded_gob_content():
     return f["y"][0], f["cb"][0]
 
 
-def _host_mquant_models(coefs_g, rate, buf, nseg):
+def _host_mquant_models(coefs_g, rate, buf, nseg, priced=True):
     """Host replica of both MQUANT cost models (all-intra GOB): returns
-    (q_seg one-pass, q_seg two-pass)."""
+    (q_seg one-pass, q_seg two-pass).  priced=True mirrors the production
+    model (MQUANT signaling bits charged to switching segments, round-5);
+    priced=False is the pre-round-5 unpriced model, kept so tests can show
+    where the two disagree."""
+    from p64tpu.core.encoder import _MQ_UPGRADE
     from p64tpu.entropy import lengths
     from p64tpu.kernels.quant import quantize_zz
     from p64tpu.spec.constants import MBS_PER_GOB
@@ -227,17 +231,35 @@ def _host_mquant_models(coefs_g, rate, buf, nseg):
         cbp = np.where((lv != 0).any(-1), weights, 0).sum(-1)
         mt = np.full(MBS_PER_GOB, MTYPE_BY_NAME["intra"], np.int32)
         coded = np.ones(MBS_PER_GOB, bool)
-        return np.asarray(lengths.gob_payload_bits_per_mb(
+        bits = np.asarray(lengths.gob_payload_bits_per_mb(
             jnp.asarray(coded), jnp.asarray(mt),
             jnp.zeros((MBS_PER_GOB, 2), jnp.int32), jnp.asarray(cbp),
             jnp.asarray(lv)))
-
-    def seg_quants(mb):
-        sb = np.where(seg_oh, mb[None, :], 0).sum(-1)
-        pf = np.concatenate([[0], np.cumsum(sb)[:-1]])
-        return np.array([q_of(buf + p) for p in pf])
+        return bits, cbp > 0, mt
 
     q0 = q_of(buf)
+
+    def seg_quants(model):
+        mb, hc, mt = model
+        sb = np.where(seg_oh, mb[None, :], 0).sum(-1)
+        segcoef = seg_oh & hc[None, :]
+        any_coef = segcoef.any(-1)
+        first = segcoef.argmax(-1)
+        mtl = lengths.MTYPE_LEN
+        sig = np.where(any_coef,
+                       lengths.MQUANT_BITS
+                       + mtl[_MQ_UPGRADE[mt[first]]] - mtl[mt[first]], 0)
+        qs, eff, acc = [], q0, 0
+        for s in range(nseg):
+            q_s = q_of(buf + acc)
+            qs.append(q_s)
+            if s > 0 and any_coef[s] and q_s != eff:
+                eff = q_s
+                if priced:
+                    acc += int(sig[s])
+            acc += int(sb[s])
+        return np.array(qs)
+
     qs1 = seg_quants(model_bits(np.full(MBS_PER_GOB, q0, np.int32)))
     qs2 = seg_quants(model_bits(
         np.where(seg_oh, qs1[:, None], 0).sum(0).astype(np.int32)))
@@ -277,6 +299,55 @@ def test_mquant_second_pass_cost_model():
     # effective-quant chain equals the segment quantizers directly
     np.testing.assert_array_equal(quant_t[0], qs2[seg_id])
     assert not np.array_equal(quant_t[0], qs1[seg_id])
+
+
+def test_mquant_signaling_priced_in_cost_model():
+    """The segment cost model must charge MQUANT signaling (5-bit field +
+    MTYPE upgrade delta) to switching segments: on rate points where the
+    unpriced model's buffer projection lands within the signaling cost of
+    a quantizer-law step, the priced model projects a coarser quant for a
+    later segment -- the signaling bits get paid for by quantization
+    instead of silently overshooting the budget.  (Buffer bits only
+    accumulate within a GOB, so segment quants are non-decreasing and
+    pricing can never *remove* a switch -- priced >= unpriced elementwise
+    is the structural direction of the correction.)  The encoder's
+    emitted quant_mb must follow the PRICED model."""
+    from p64tpu.core.blocks import (assemble_mb_blocks, luma_to_mbs,
+                                    to_gob_order)
+    from p64tpu.kernels.dct import fdct8x8_zz
+
+    y, cb = _graded_gob_content()
+    blocks = assemble_mb_blocks(
+        luma_to_mbs(jnp.asarray(y, jnp.int32)),
+        jnp.asarray(cb, jnp.int32), jnp.asarray(cb, jnp.int32))
+    coefs0 = np.asarray(to_gob_order(QCIF, fdct8x8_zz(blocks)))[0]
+
+    found = None
+    for br in range(360_000, 1_100_000, 2_000):
+        rate = RateConfig(bit_rate=br, frame_rate=30, mquant_segments=3)
+        _, qp, seg_id = _host_mquant_models(
+            coefs0, rate, rate.initial_buffer(), 3, priced=True)
+        _, qu, _ = _host_mquant_models(
+            coefs0, rate, rate.initial_buffer(), 3, priced=False)
+        if not np.array_equal(qp, qu):
+            found = (rate, qp, qu, seg_id)
+            break
+    assert found is not None, (
+        "no rate point separates the priced/unpriced models on the graded "
+        "fixture; re-tune the search range")
+    rate, qp, qu, seg_id = found
+    assert (qp >= qu).all() and (qp > qu).any()
+
+    cfg = enc.EncoderConfig(fmt=QCIF, rate=rate)
+    frames = dict(y=jnp.asarray(y[None]), cb=jnp.asarray(cb[None]),
+                  cr=jnp.asarray(cb[None]))
+    _, outputs, _ = enc.encode_to_bytes(cfg, frames)
+    quant_t = np.asarray(to_gob_order(
+        QCIF, jnp.asarray(outputs["quant_mb"][0])))
+    # all-intra graded content: every segment has coefficients, so the
+    # effective-quant chain equals the segment quantizers directly
+    np.testing.assert_array_equal(quant_t[0], qp[seg_id])
+    assert not np.array_equal(quant_t[0], qu[seg_id])
 
 
 def test_activity_no_int32_overflow_on_bright_content():
