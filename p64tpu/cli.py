@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(1 = GQUANT only; needs -r)")
     p.add_argument("-l", "--no-filter", action="store_true",
                    help="disable the H.261 loop filter (no FIL MTYPEs)")
+    p.add_argument("-e", "--resync", action="store_true",
+                   help="decode with start-code error recovery: damaged "
+                        "GOBs/pictures are concealed and decoding "
+                        "continues at the next PSC/GBSC (default: strict, "
+                        "fail on the first invalid code)")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="per-frame statistics")
     p.add_argument("input", nargs="?",
@@ -134,10 +139,19 @@ def run_decode(args) -> int:
     with open(args.stream, "rb") as f:
         data = f.read()
     try:
-        y, cb, cr, parsed = decode_stream(data)
+        y, cb, cr, parsed = decode_stream(data, resync=args.resync)
     except StreamError as e:
         print(f"p64tpu: invalid H.261 stream: {e}", file=sys.stderr)
         return 1
+    except ValueError as e:
+        # resync mode never raises StreamError; a stream with no start
+        # code at all yields zero frames
+        print(f"p64tpu: {e}", file=sys.stderr)
+        return 1
+    n_damaged = sum(bool(p.damaged) for p in parsed)
+    if n_damaged:
+        print(f"p64tpu: {n_damaged}/{len(parsed)} damaged pictures "
+              f"concealed (resync)", file=sys.stderr)
     frames = dict(y=y, cb=cb, cr=cr)
     out = args.output
     if not out:

@@ -105,17 +105,21 @@ def decode_seq_batch(fmt: Format, seq_list):
     return [(y[i], cb[i], cr[i]) for i in range(len(seq_list))]
 
 
-def parse_any(data: bytes) -> List[ParsedFrame]:
+def parse_any(data: bytes, resync: bool = False) -> List[ParsedFrame]:
     """Parse with the C++ engine when available (identical contract to the
-    Python oracle -- tests/test_native.py), else pure Python."""
+    Python oracle -- tests/test_native.py), else pure Python.
+
+    resync=True enables start-code error recovery: damaged GOBs keep
+    their already-decoded MBs, the rest reconstruct as
+    copy-from-reference (see parse_stream(strict=False))."""
     from ..native import load
     native = load()
     if native is not None:
-        return native.parse(data)
-    return parse_stream(data)
+        return native.parse(data, resync=resync)
+    return parse_stream(data, strict=not resync)
 
 
-def parse_to_tensors(data: bytes):
+def parse_to_tensors(data: bytes, resync: bool = False):
     """Parse one single-format stream straight to the stacked (T, ...)
     tensors `_decode_scan` consumes, skipping per-frame ParsedFrame
     objects (the hot batched-decode path; see binding.parse_tensors).
@@ -127,8 +131,10 @@ def parse_to_tensors(data: bytes):
     from ..native import load
     native = load()
     if native is not None:
-        return native.parse_tensors(data)
-    frames = parse_stream(data)
+        return native.parse_tensors(data, resync=resync)
+    frames = parse_stream(data, strict=not resync)
+    if not frames:
+        raise StreamError("empty stream")
     fmt = frames[0].fmt
     if any(f.fmt is not fmt for f in frames):
         # same error contract as the native path
@@ -158,9 +164,10 @@ def parse_many(datas: List[bytes]) -> List[List[ParsedFrame]]:
     return fan_map(parse_any, datas)
 
 
-def decode_stream(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                                        List[ParsedFrame]]:
+def decode_stream(data: bytes, resync: bool = False
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                             List[ParsedFrame]]:
     """bytes -> (y, cb, cr) uint8 arrays (T, ...) + the parsed symbol view."""
-    frames = parse_any(data)
+    frames = parse_any(data, resync=resync)
     y, cb, cr = decode_frames(frames)
     return np.asarray(y), np.asarray(cb), np.asarray(cr), frames

@@ -38,7 +38,13 @@ class ParsedFrame:
     levels holds zigzag levels with intra DC *levels* (1..254, code 255
     already mapped to 128) in slot 0; all-zero rows for untransmitted
     blocks/MBs.
-    """
+
+    damaged / gob_damaged are only ever set by the resync parse mode
+    (parse_stream(strict=False)): a damaged GOB keeps the MBs decoded
+    before the error (the rest stay uncoded -- the device reconstruct
+    conceals them as copy-from-reference); `damaged` also covers damage
+    that could not be attributed to a GOB (invalid GN, garbage between
+    units)."""
 
     tr: int
     fmt: Format
@@ -51,6 +57,8 @@ class ParsedFrame:
     mv: np.ndarray       # (nMB, 2) (mvx, mvy)
     cbp: np.ndarray      # (nMB,)
     levels: np.ndarray   # (nMB, 6, 64) int16
+    damaged: bool = False               # any damage event in this picture
+    gob_damaged: np.ndarray = None      # (nGOB,) bool (resync mode)
 
 
 class StreamError(ValueError):
@@ -66,9 +74,14 @@ def _decode_vlc(r: BitReader, lut: luts.VlcLut, what: str) -> int:
     return int(lut.symbol[peek])
 
 
-def _decode_block(r: BitReader, intra: bool) -> np.ndarray:
-    """Decode one block's TCOEFF sequence (incl. intra DC) up to EOB."""
-    zz = np.zeros(64, dtype=np.int16)
+def _decode_block(r: BitReader, intra: bool, zz: np.ndarray) -> None:
+    """Decode one block's TCOEFF sequence (incl. intra DC) up to EOB,
+    writing coefficients into `zz` (a zeroed (64,) int16 view) AS THEY
+    DECODE -- so a StreamError mid-block leaves the coefficients decoded
+    before the error in place, exactly like the C++ parse_block writes
+    directly into the output tensor.  Strict parses abort wholesale so
+    never observe partials; the resync mode keeps them (and tests assert
+    both engines agree on corrupted input)."""
     pos = 0
     if intra:
         code = r.read(8)
@@ -88,7 +101,7 @@ def _decode_block(r: BitReader, intra: bool) -> np.ndarray:
             raise StreamError(f"invalid TCOEFF code at bit {r.pos}")
         if kind == luts.TC_KIND_EOB:
             r.skip(2)
-            return zz
+            return
         if kind == luts.TC_KIND_ESC:
             r.skip(6)
             run = r.read(6)
@@ -106,7 +119,7 @@ def _decode_block(r: BitReader, intra: bool) -> np.ndarray:
         pos += 1
         first = False
         if pos > 64:
-            return zz
+            return
 
 
 def _mv_from_mvd(pred: int, mvd: int) -> int:
@@ -120,8 +133,24 @@ def _mv_from_mvd(pred: int, mvd: int) -> int:
     return v
 
 
-def parse_stream(data: bytes) -> List[ParsedFrame]:
+def parse_stream(data: bytes, strict: bool = True) -> List[ParsedFrame]:
+    """Parse an H.261 stream.
+
+    strict=True (default): the first invalid code / forbidden value /
+    truncation raises StreamError -- the test-oracle contract.
+
+    strict=False: start-code resync error recovery, mirroring the
+    reference decoder's "scan for PSC" loop (SURVEY section 3b): on
+    damage, scan forward to the next PSC/GBSC, mark the damaged
+    GOB/picture (ParsedFrame.damaged / .gob_damaged), keep the MBs
+    already decoded, and continue.  Never raises on corrupt input; a
+    stream with no start code at all parses as zero frames.  Contract is
+    mirrored bit-for-bit by the C++ engine (native.parse(resync=True));
+    tests assert both agree on arbitrary corrupted input.
+    """
     r = BitReader(data)
+    if not strict:
+        return _parse_resync(r)
     frames: List[ParsedFrame] = []
     # stream must start with a PSC
     if r.remaining < 20 or r.read(16) != 1 or r.read(4) != 0:
@@ -141,23 +170,113 @@ def parse_stream(data: bytes) -> List[ParsedFrame]:
     return frames
 
 
-def _parse_picture(r: BitReader):
-    """Parse one picture; the PSC (incl. GN=0) has already been consumed."""
+def _picture_header(r: BitReader) -> ParsedFrame:
+    """TR/PTYPE/PEI (the PSC incl. GN=0 already consumed) -> empty frame."""
     tr = r.read(5)
     ptype = r.read(6)
     fmt = CIF if (ptype >> 2) & 1 else QCIF
     while r.read(1):         # PEI/PSPARE loop
         r.read(8)
-
     n = fmt.num_mbs
-    out = ParsedFrame(
+    return ParsedFrame(
         tr=tr, fmt=fmt,
         gquant=np.zeros(fmt.num_gobs, np.int32),
         coded=np.zeros(n, bool), intra=np.zeros(n, bool),
         mc=np.zeros(n, bool), fil=np.zeros(n, bool),
         quant=np.ones(n, np.int32), mv=np.zeros((n, 2), np.int32),
         cbp=np.zeros(n, np.int32), levels=np.zeros((n, 6, 64), np.int16),
+        gob_damaged=np.zeros(fmt.num_gobs, bool),
     )
+
+
+def _scan_start_code(r: BitReader) -> bool:
+    """Advance r.pos to the next 16-bit start-code prefix ('0'*15 + '1')
+    at ANY bit offset >= r.pos that still has the 4 GN bits after it
+    (20 bits total).  Returns True with r.pos AT the code, else False.
+    In a zero run longer than 15 the match is the LAST 15 zeros before
+    the 1 (the only offset whose bit 15 is a 1), matching the C++
+    scan_start_code."""
+    bits = r._bits
+    n = bits.size
+    start = max(r.pos, 0)
+    if start + 20 > n:
+        return False
+    c = np.concatenate([[0], np.cumsum(bits)])
+    idx = np.arange(start, n - 19)
+    hits = np.nonzero(((c[idx + 15] - c[idx]) == 0)
+                      & (bits[idx + 15] == 1))[0]
+    if hits.size == 0:
+        return False
+    r.pos = int(idx[hits[0]])
+    return True
+
+
+def _parse_resync(r: BitReader) -> List[ParsedFrame]:
+    """Start-code resync driver; see parse_stream(strict=False).
+
+    Mirrored bit-for-bit by the C++ parse_resync (native/bitio.cpp):
+    every rescan starts AT the reader position where the error was
+    detected, a damaged picture header discards the frame and drops
+    picture context until the next header parses, and headerless GOBs
+    are skipped."""
+    frames: List[ParsedFrame] = []
+    cur = None
+    perm = None
+    g2i = None
+    if not _scan_start_code(r):
+        return frames
+    while True:
+        # r.pos is AT a start code with >= 20 bits through GN
+        r.skip(16)
+        gn = r.read(4)
+        if gn == 0:
+            try:
+                cur = _picture_header(r)
+            except (StreamError, EOFError):
+                cur = None
+                if not _scan_start_code(r):
+                    return frames
+                continue
+            frames.append(cur)
+            perm = transmission_order(cur.fmt)
+            g2i = {g: i for i, g in enumerate(cur.fmt.gob_numbers)}
+        elif cur is None:
+            # a GOB with no picture context cannot be placed; skip it
+            if not _scan_start_code(r):
+                return frames
+            continue
+        else:
+            gi = g2i.get(int(gn))
+            if gi is None:
+                cur.damaged = True
+                if not _scan_start_code(r):
+                    return frames
+                continue
+            try:
+                _parse_gob(r, cur, gi, perm)
+            except (StreamError, EOFError):
+                cur.damaged = True
+                cur.gob_damaged[gi] = True
+                if not _scan_start_code(r):
+                    return frames
+                continue
+        rem = r.remaining
+        if rem < 20:
+            return frames
+        if r.peek(16) != 1:
+            if rem < 24 and r.peek(min(rem, 24)) == 0:
+                return frames   # zero-pad tail
+            if cur is not None:
+                cur.damaged = True
+            if not _scan_start_code(r):
+                return frames
+            continue
+
+
+def _parse_picture(r: BitReader):
+    """Parse one picture; the PSC (incl. GN=0) has already been consumed."""
+    out = _picture_header(r)
+    fmt = out.fmt
     perm = transmission_order(fmt)
     gn_to_gi = {gn: gi for gi, gn in enumerate(fmt.gob_numbers)}
 
@@ -268,7 +387,7 @@ def _parse_gob(r: BitReader, out: ParsedFrame, gi: int,
         out.cbp[raster] = cbp
         for b in range(6):
             if blockmask[b]:
-                out.levels[raster, b] = _decode_block(r, intra)
+                _decode_block(r, intra, out.levels[raster, b])
         out.coded[raster] = True
         out.intra[raster] = intra
         out.quant[raster] = quant

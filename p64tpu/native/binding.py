@@ -199,9 +199,11 @@ class NativeBitIO:
                    ("intra", (396,), np.uint8), ("mc", (396,), np.uint8),
                    ("fil", (396,), np.uint8), ("quant", (396,), np.int32),
                    ("mv", (396, 2), np.int32), ("cbp", (396,), np.int32),
-                   ("levels", (396, 6, 64), np.int16))
+                   ("levels", (396, 6, 64), np.int16),
+                   ("damage", (), np.int32))
 
-    def _raw_parse(self, data: bytes, max_frames: int):
+    def _raw_parse(self, data: bytes, max_frames: int,
+                   resync: bool = False):
         """Invoke p64_parse with adaptively-grown output buffers.
 
         Starts at min(64, max_frames) frames and grows 4x on overflow --
@@ -219,7 +221,8 @@ class NativeBitIO:
             errpos = C.c_int64(0)
             n = self._lib.p64_parse(
                 C.byref(self._dec_t), _ptr(buf), C.c_int64(len(data)),
-                C.c_int64(mf), _ptr(self._perm_cif), _ptr(self._perm_qcif),
+                C.c_int64(mf), C.c_int32(1 if resync else 0),
+                _ptr(self._perm_cif), _ptr(self._perm_qcif),
                 *[_ptr(out[name]) for name, _, _ in self._RAW_FIELDS],
                 C.byref(errpos))
             if n == -5 and mf < max_frames:     # P64_ERR_MAXFRAMES
@@ -236,7 +239,8 @@ class NativeBitIO:
                 f"(native code {n})")
         return n, out
 
-    def parse_tensors(self, data: bytes, max_frames: int = 65536):
+    def parse_tensors(self, data: bytes, max_frames: int = 65536,
+                      resync: bool = False):
         """Parse a single-format stream straight into stacked arrays.
 
         Returns (fmt, tr (n,), seq) where seq has the (n, ...) tensors the
@@ -244,10 +248,12 @@ class NativeBitIO:
         with intra/fil already masked by coded).  Skips the per-frame
         ParsedFrame construction, which dominated host parse time for long
         sequences (round-3 decode bench).  Raises StreamError on mixed
-        CIF/QCIF.
+        CIF/QCIF.  resync=True enables start-code error recovery (damage
+        flags are not surfaced on this path -- uncoded MBs of damaged GOBs
+        reconstruct as copy-from-reference, the concealment default).
         """
         from ..entropy.parse import StreamError
-        n, out = self._raw_parse(data, max_frames)
+        n, out = self._raw_parse(data, max_frames, resync=resync)
         if n == 0:
             raise StreamError("empty stream")
         if not (out["fmt"][:n] == out["fmt"][0]).all():
@@ -268,9 +274,12 @@ class NativeBitIO:
         return fmt, out["tr"][:n].copy(), seq
 
     def parse(self, data: bytes, max_frames: int = 65536,
-              copy: bool = False):
+              copy: bool = False, resync: bool = False):
         """Returns list of entropy.parse.ParsedFrame (same contract as the
-        Python parser).
+        Python parser).  resync=True enables start-code error recovery
+        (same contract as parse_stream(strict=False): damaged GOBs keep
+        their already-decoded MBs and are flagged in damaged/gob_damaged;
+        corrupt input never raises).
 
         Memory note: by default the frames' arrays are VIEWS into per-call
         output buffers (adaptively sized to <= 4x the parsed frame count),
@@ -280,12 +289,12 @@ class NativeBitIO:
         path exists to avoid -- round-3 decode bench: ~60 of 112 ms for
         512 CIF frames)."""
         from ..entropy.parse import ParsedFrame
-        n, out = self._raw_parse(data, max_frames)
+        n, out = self._raw_parse(data, max_frames, resync=resync)
         # copy=True compacts each frame's row-slices (NOT the whole 4x
         # overshoot buffers) so retained frames are independent.
         c = (lambda a: a.copy()) if copy else (lambda a: a)
         (out_fmt, out_tr, out_gq, out_coded, out_intra, out_mc, out_fil,
-         out_quant, out_mv, out_cbp, out_levels) = (
+         out_quant, out_mv, out_cbp, out_levels, out_damage) = (
             out[name] for name, _, _ in self._RAW_FIELDS)
         frames = []
         for f in range(n):
@@ -298,6 +307,7 @@ class NativeBitIO:
             # calloc-backed, so untouched frames cost no resident memory,
             # and each call allocates fresh buffers (no cross-call
             # aliasing); rows are disjoint across frames.
+            dmg = int(out_damage[f])
             frames.append(ParsedFrame(
                 tr=int(out_tr[f]), fmt=fmt,
                 gquant=c(out_gq[f, :fmt.num_gobs]),
@@ -308,7 +318,10 @@ class NativeBitIO:
                 quant=c(out_quant[f, :m]),
                 mv=c(out_mv[f, :m]),
                 cbp=c(out_cbp[f, :m]),
-                levels=c(out_levels[f, :m])))
+                levels=c(out_levels[f, :m]),
+                damaged=bool(dmg >> 15 & 1),
+                gob_damaged=(
+                    (dmg >> np.arange(fmt.num_gobs)) & 1).astype(bool)))
         return frames
 
 

@@ -357,10 +357,314 @@ static int mv_from_mvd(int pred, int mvd, int* out) {
   return P64_OK;
 }
 
-// Parse a whole stream.  Output arrays are preallocated by the caller with
-// capacity max_frames and CIF-sized nMB stride (396); QCIF frames use the
-// first 99 slots.  gn_to_gi maps GN (1..12) -> GOB index for each format;
-// the caller passes perms for both formats.
+// ---------------------------------------------------------------------------
+// stream parse: strict and resync drivers over shared picture/GOB helpers
+// ---------------------------------------------------------------------------
+
+static int gn_to_gi_map(int is_cif, uint32_t gn) {
+  if (is_cif) return (gn >= 1 && gn <= 12) ? (int)gn - 1 : -1;
+  if (gn == 1) return 0;
+  if (gn == 3) return 1;
+  if (gn == 5) return 2;
+  return -1;
+}
+
+// Shared output context for the strict and resync parse drivers.  Arrays
+// are preallocated by the caller with capacity max_frames and CIF-sized
+// nMB stride (396); QCIF frames use the first 99 slots.
+struct ParseCtx {
+  const DecTables* t;
+  const int32_t* perm_cif;     // [12*33]
+  const int32_t* perm_qcif;    // [3*33]
+  int64_t max_frames;
+  int32_t* out_fmt;            // [max_frames] 1 = CIF
+  int32_t* out_tr;             // [max_frames]
+  int32_t* out_gquant;         // [max_frames*12]
+  uint8_t* out_coded;          // [max_frames*396]
+  uint8_t* out_intra;          // [max_frames*396]
+  uint8_t* out_mc;             // [max_frames*396]
+  uint8_t* out_fil;            // [max_frames*396]
+  int32_t* out_quant;          // [max_frames*396]
+  int32_t* out_mv;             // [max_frames*396*2]
+  int32_t* out_cbp;            // [max_frames*396]
+  int16_t* out_levels;         // [max_frames*396*6*64]
+  int32_t* out_damage;         // [max_frames] bit 15 = frame-level damage,
+                               //   bits 0..11 = per-GOB damage (resync only)
+};
+
+// Picture header (PSC incl. GN=0 already consumed): TR/PTYPE/PEI, then
+// zero frame f's outputs.  br_read zero-pads past EOF, so a stream
+// truncated inside the header would otherwise fabricate a bogus frame --
+// the Python oracle errors here; match it.  The <12 guard covers
+// TR(5)+PTYPE(6)+first PEI flag(1); each taken PEI then needs
+// PSPARE(8)+next flag(1), so by induction every fixed-width read below is
+// backed by real bits.
+static int picture_header(BitReader* r, ParseCtx* c, int64_t f,
+                          int64_t* err_bitpos) {
+  if (r->nbits - r->pos < 12) { *err_bitpos = r->pos; return P64_ERR_TRUNCATED; }
+  c->out_tr[f] = (int32_t)br_read(r, 5);
+  uint32_t ptype = br_read(r, 6);
+  c->out_fmt[f] = (int32_t)((ptype >> 2) & 1);
+  while (br_read(r, 1)) {  // PEI/PSPARE
+    if (r->nbits - r->pos < 9) { *err_bitpos = r->pos; return P64_ERR_TRUNCATED; }
+    br_read(r, 8);
+  }
+  std::memset(c->out_coded + f * 396, 0, 396);
+  std::memset(c->out_intra + f * 396, 0, 396);
+  std::memset(c->out_mc + f * 396, 0, 396);
+  std::memset(c->out_fil + f * 396, 0, 396);
+  std::memset(c->out_cbp + f * 396, 0, 396 * 4);
+  std::memset(c->out_mv + f * 396 * 2, 0, 396 * 2 * 4);
+  std::memset(c->out_gquant + f * 12, 0, 12 * 4);
+  std::memset(c->out_levels + (int64_t)f * 396 * 6 * 64, 0,
+              (size_t)396 * 6 * 64 * 2);
+  for (int i = 0; i < 396; ++i) c->out_quant[f * 396 + i] = 1;
+  c->out_damage[f] = 0;
+  return P64_OK;
+}
+
+// One GOB (GBSC + GN already consumed): GQUANT/GEI, then the MB loop
+// until the next start code / zero tail / end of data.
+static int parse_one_gob(BitReader* rr, ParseCtx* c, int64_t f, int is_cif,
+                         int gi, const int32_t* perm, int64_t* err_bitpos) {
+  const DecTables* t = c->t;
+  BitReader& r = *rr;
+  // GQUANT(5) + first GEI flag(1); then each taken GEI needs
+  // GSPARE(8) + next flag(1).  Same induction as the picture-level
+  // PEI loop above: every fixed-width read below is backed by real
+  // bits, so a stream truncated inside the GOB header is rejected
+  // exactly where the Python oracle's r.read() raises (round-4
+  // advisor finding: br_read zero-pads, so mid-GEI truncation used
+  // to terminate as a successfully parsed frame here while the
+  // oracle raised StreamError).
+  if (r.nbits - r.pos < 6) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
+  uint32_t gquant = br_read(&r, 5);
+  if (gquant == 0) { *err_bitpos = r.pos; return P64_ERR_FORBIDDEN; }
+  c->out_gquant[f * 12 + gi] = (int32_t)gquant;
+  while (br_read(&r, 1)) {  // GEI/GSPARE
+    if (r.nbits - r.pos < 9) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
+    br_read(&r, 8);
+  }
+  int quant = (int)gquant;
+  int addr = -1;
+  int prev_mvx = 0, prev_mvy = 0, prev_was_mc = 0;
+  // MB loop.  NOTE: a final MB can be as short as 6 bits and end flush
+  // with the byte boundary, so "fewer than 16 bits left" alone is NOT
+  // end-of-data -- only a start code or an all-zero tail is (mirrors
+  // entropy/parse.py::_parse_gob; the old `rem < 16` bail dropped a
+  // trailing MC-no-coeff macroblock).
+  for (;;) {
+    int64_t rem = r.nbits - r.pos;
+    // rem < 0 means a VLC peek zero-padded past EOF matched a code
+    // longer than the remaining real bits (possible for any code
+    // with trailing zero bits) and the skip overran -- that is a
+    // truncated stream, not a successful end-of-data.
+    if (rem < 0) { *err_bitpos = r.nbits; return P64_ERR_TRUNCATED; }
+    if (rem == 0) break;
+    if (rem >= 16 && br_peek(&r, 16) == 1) break;  // next start code
+    if (rem < 24 && br_peek(&r, (int)rem) == 0) break;  // zero-pad tail
+    uint32_t peek = br_peek(&r, 11);
+    int sym = t->mba_sym[peek];
+    int nb = t->mba_nbits[peek];
+    if (nb == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+    r.pos += nb;
+    if (sym == 34) {
+      // stuffing fast path: minimum-rate streams can be mostly MBA
+      // stuffing ('00000001111' runs); greedily consume 4 codes per
+      // 44-bit peek, then singles.  Semantically identical to the
+      // per-code loop (the 11-bit stuffing code is a complete
+      // prefix-free MBA code).  A/B on a 96%-stuffing CIF stream:
+      // 11.6 -> 4.7 ms (119 -> 291 MB/s), ~2.4x.
+      const uint64_t kStuff4 = ((uint64_t)0xF << 33) |
+                               ((uint64_t)0xF << 22) |
+                               ((uint64_t)0xF << 11) | 0xF;
+      while (r.nbits - r.pos >= 44 && br_peek64(&r, 44) == kStuff4)
+        r.pos += 44;
+      while (r.nbits - r.pos >= 11 && br_peek(&r, 11) == 0xF)
+        r.pos += 11;
+      continue;
+    }
+    int gap = sym;
+    addr += gap;
+    if (addr >= kMbsPerGob) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+    int raster = perm[gi * kMbsPerGob + addr];
+    // MTYPE
+    peek = br_peek(&r, 10);
+    int mt = t->mtype_sym[peek];
+    nb = t->mtype_nbits[peek];
+    if (nb == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+    r.pos += nb;
+    const uint8_t* fl = t->mtype_flags + mt * 6;
+    int intra = fl[0];
+    if (fl[1]) {  // MQUANT
+      if (r.nbits - r.pos < 5) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
+      quant = (int)br_read(&r, 5);
+      if (quant == 0) { *err_bitpos = r.pos; return P64_ERR_FORBIDDEN; }
+    }
+    if (fl[2]) {  // MVD
+      int px = 0, py = 0;
+      if (gap == 1 && addr % 11 != 0 && prev_was_mc) {
+        px = prev_mvx;
+        py = prev_mvy;
+      }
+      int mvx, mvy;
+      peek = br_peek(&r, 11);
+      if (t->mvd_nbits[peek] == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+      r.pos += t->mvd_nbits[peek];
+      if (mv_from_mvd(px, t->mvd_sym[peek] - 16, &mvx) != P64_OK) {
+        *err_bitpos = r.pos;
+        return P64_ERR_BAD_CODE;
+      }
+      peek = br_peek(&r, 11);
+      if (t->mvd_nbits[peek] == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+      r.pos += t->mvd_nbits[peek];
+      if (mv_from_mvd(py, t->mvd_sym[peek] - 16, &mvy) != P64_OK) {
+        *err_bitpos = r.pos;
+        return P64_ERR_BAD_CODE;
+      }
+      // H.261 3.2.1: the MV window must stay inside the picture
+      // (the batched device MC path assumes it; round-4 review)
+      {
+        int mb_cols = is_cif ? 22 : 11;
+        int h = is_cif ? 288 : 144, w = is_cif ? 352 : 176;
+        int y0 = (raster / mb_cols) * 16, x0 = (raster % mb_cols) * 16;
+        if (y0 + mvy < 0 || y0 + mvy + 16 > h ||
+            x0 + mvx < 0 || x0 + mvx + 16 > w) {
+          *err_bitpos = r.pos;
+          return P64_ERR_BAD_MV;
+        }
+      }
+      c->out_mv[(f * 396 + raster) * 2] = mvx;
+      c->out_mv[(f * 396 + raster) * 2 + 1] = mvy;
+      prev_mvx = mvx;
+      prev_mvy = mvy;
+      prev_was_mc = 1;
+      c->out_mc[f * 396 + raster] = 1;
+      c->out_fil[f * 396 + raster] = fl[3];
+    } else {
+      prev_was_mc = 0;
+    }
+    int blockmask = 0;
+    int cbp = 0;
+    if (fl[4]) {  // CBP
+      peek = br_peek(&r, 9);
+      cbp = t->cbp_sym[peek];
+      nb = t->cbp_nbits[peek];
+      if (nb == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
+      r.pos += nb;
+      blockmask = cbp;
+    } else if (fl[5]) {
+      cbp = 63;
+      blockmask = 63;
+    }
+    c->out_cbp[f * 396 + raster] = cbp;
+    for (int b = 0; b < 6; ++b) {
+      if ((blockmask >> (5 - b)) & 1) {
+        int rc = parse_block(
+            &r, t,
+            c->out_levels + (((int64_t)f * 396 + raster) * 6 + b) * 64,
+            intra);
+        if (rc != P64_OK) { *err_bitpos = r.pos; return rc; }
+      }
+    }
+    c->out_coded[f * 396 + raster] = 1;
+    c->out_intra[f * 396 + raster] = (uint8_t)intra;
+    c->out_quant[f * 396 + raster] = quant;
+  }
+  return P64_OK;
+}
+
+// Advance r->pos to the next 16-bit start-code prefix ('0'*15 + '1') at
+// ANY bit offset >= r->pos that still has the 4 GN bits after it (20 bits
+// total).  Returns 1 and leaves r->pos AT the code, or 0 if none remains.
+// Mirrors entropy/parse.py::_scan_start_code exactly: in a zero run
+// longer than 15, the match is the LAST 15 zeros before the 1 (the only
+// position where bit[i+15] == 1).
+static int scan_start_code(BitReader* r) {
+  int64_t i = r->pos > 0 ? r->pos : 0;
+  int64_t zeros = 0;
+  for (; i < r->nbits; ++i) {
+    int bit = (r->buf[i >> 3] >> (7 - (i & 7))) & 1;
+    if (bit) {
+      if (zeros >= 15 && i + 5 <= r->nbits) {
+        r->pos = i - 15;
+        return 1;
+      }
+      zeros = 0;
+    } else {
+      ++zeros;
+    }
+  }
+  return 0;
+}
+
+// Resync driver (SURVEY section 3b: the reference decoder "scans for
+// PSC", surviving damaged streams).  Contract -- mirrored bit-for-bit by
+// entropy/parse.py::_parse_resync; tests assert both engines agree on
+// arbitrary corrupted input:
+//   * start: scan for the first start code anywhere (a mid-stream join
+//     needs no PSC at bit 0); no code at all parses as zero frames.
+//   * GN == 0 -> picture.  A damaged picture header discards the frame
+//     row and drops picture context (following GOBs have no home until
+//     the next picture header parses).
+//   * GN != 0 -> GOB of the current picture.  Damage inside the GOB
+//     keeps the MBs already decoded, marks damage bits, and rescans.
+//   * invalid GN / garbage between units -> frame-level damage, rescan.
+//   * every rescan starts AT the reader position where the error was
+//     detected (error paths leave r.pos at the offending code/value).
+static int64_t parse_resync(BitReader* rr, ParseCtx* c, int64_t* err_bitpos) {
+  BitReader& r = *rr;
+  int64_t f = -1;
+  int have_cur = 0, is_cif = 0;
+  const int32_t* perm = NULL;
+  if (!scan_start_code(&r)) return 0;
+  for (;;) {
+    // r.pos is AT a start code with >= 20 bits through GN (scan/continue
+    // checks guarantee it)
+    r.pos += 16;
+    uint32_t gn = br_read(&r, 4);
+    if (gn == 0) {
+      ++f;
+      if (f >= c->max_frames) return P64_ERR_MAXFRAMES;
+      if (picture_header(&r, c, f, err_bitpos) != P64_OK) {
+        --f;
+        have_cur = 0;
+        if (!scan_start_code(&r)) return f + 1;
+        continue;
+      }
+      have_cur = 1;
+      is_cif = c->out_fmt[f];
+      perm = is_cif ? c->perm_cif : c->perm_qcif;
+    } else if (!have_cur) {
+      if (!scan_start_code(&r)) return f + 1;
+      continue;
+    } else {
+      int gi = gn_to_gi_map(is_cif, gn);
+      if (gi < 0) {
+        c->out_damage[f] |= 1 << 15;
+        if (!scan_start_code(&r)) return f + 1;
+        continue;
+      }
+      if (parse_one_gob(&r, c, f, is_cif, gi, perm, err_bitpos) != P64_OK) {
+        c->out_damage[f] |= (1 << 15) | (1 << gi);
+        if (!scan_start_code(&r)) return f + 1;
+        continue;
+      }
+    }
+    int64_t rem = r.nbits - r.pos;
+    if (rem < 20) return f + 1;
+    if (br_peek(&r, 16) != 1) {
+      if (rem < 24 && br_peek(&r, (int)rem) == 0) return f + 1;
+      if (have_cur) c->out_damage[f] |= 1 << 15;
+      if (!scan_start_code(&r)) return f + 1;
+      continue;
+    }
+  }
+}
+
+// Parse a whole stream.  resync == 0: strict -- the first invalid code /
+// forbidden value / truncation fails the whole parse (the test-oracle
+// contract).  resync != 0: scan-for-start-code error recovery (above).
 //
 // Returns number of frames parsed (>= 0) or a negative error code.
 // out_fmt[f] = 1 for CIF, 0 for QCIF.
@@ -368,6 +672,7 @@ int64_t p64_parse(
     const DecTables* t,
     const uint8_t* data, int64_t n_bytes,
     int64_t max_frames,
+    int32_t resync,
     const int32_t* perm_cif,     // [12*33]
     const int32_t* perm_qcif,    // [3*33]
     int32_t* out_fmt,            // [max_frames]
@@ -381,214 +686,44 @@ int64_t p64_parse(
     int32_t* out_mv,             // [max_frames*396*2]
     int32_t* out_cbp,            // [max_frames*396]
     int16_t* out_levels,         // [max_frames*396*6*64]
+    int32_t* out_damage,         // [max_frames]
     int64_t* err_bitpos) {
   BitReader r{data, n_bytes * 8, 0};
+  ParseCtx c{t, perm_cif, perm_qcif, max_frames,
+             out_fmt, out_tr, out_gquant, out_coded, out_intra, out_mc,
+             out_fil, out_quant, out_mv, out_cbp, out_levels, out_damage};
   *err_bitpos = 0;
+  if (resync) return parse_resync(&r, &c, err_bitpos);
   if (r.nbits < 20 || br_read(&r, 16) != 1 || br_read(&r, 4) != 0) {
     *err_bitpos = 0;
     return P64_ERR_NO_PSC;
   }
   int64_t f = -1;
-  int more = 1;
-  while (more) {
+  for (;;) {
     ++f;
     if (f >= max_frames) return P64_ERR_MAXFRAMES;
-    // picture header (PSC already consumed).  br_read zero-pads past
-    // EOF, so a stream truncated inside the header would otherwise
-    // fabricate a bogus frame -- the Python oracle errors here; match it.
-    if (r.nbits - r.pos < 12) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
-    out_tr[f] = (int32_t)br_read(&r, 5);
-    uint32_t ptype = br_read(&r, 6);
-    int is_cif = (ptype >> 2) & 1;
-    out_fmt[f] = is_cif;
-    while (br_read(&r, 1)) {  // PEI/PSPARE
-      if (r.nbits - r.pos < 9) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
-      br_read(&r, 8);
-    }
+    int rc = picture_header(&r, &c, f, err_bitpos);
+    if (rc != P64_OK) return rc;
+    const int is_cif = c.out_fmt[f];
     const int32_t* perm = is_cif ? perm_cif : perm_qcif;
-
-    // zero this frame's outputs
-    std::memset(out_coded + f * 396, 0, 396);
-    std::memset(out_intra + f * 396, 0, 396);
-    std::memset(out_mc + f * 396, 0, 396);
-    std::memset(out_fil + f * 396, 0, 396);
-    std::memset(out_cbp + f * 396, 0, 396 * 4);
-    std::memset(out_mv + f * 396 * 2, 0, 396 * 2 * 4);
-    std::memset(out_gquant + f * 12, 0, 12 * 4);
-    std::memset(out_levels + (int64_t)f * 396 * 6 * 64, 0,
-                (size_t)396 * 6 * 64 * 2);
-    for (int i = 0; i < 396; ++i) out_quant[f * 396 + i] = 1;
-
     // GOB loop
     for (;;) {
-      if (r.nbits - r.pos < 20) { more = 0; break; }
+      int64_t rem = r.nbits - r.pos;
+      if (rem < 20) return f + 1;
       if (br_peek(&r, 16) != 1) {
-        if (r.nbits - r.pos < 24 &&
-            br_peek(&r, (int)(r.nbits - r.pos)) == 0) {
-          more = 0;
-          break;  // byte-pad tail
-        }
+        if (rem < 24 && br_peek(&r, (int)rem) == 0) return f + 1;  // pad tail
         *err_bitpos = r.pos;
         return P64_ERR_BAD_CODE;
       }
       r.pos += 16;
       uint32_t gn = br_read(&r, 4);
       if (gn == 0) break;  // next picture
-      int gi = -1;
-      if (is_cif) {
-        if (gn >= 1 && gn <= 12) gi = (int)gn - 1;
-      } else {
-        if (gn == 1) gi = 0;
-        else if (gn == 3) gi = 1;
-        else if (gn == 5) gi = 2;
-      }
+      int gi = gn_to_gi_map(is_cif, gn);
       if (gi < 0) { *err_bitpos = r.pos; return P64_ERR_BAD_GN; }
-      // GQUANT(5) + first GEI flag(1); then each taken GEI needs
-      // GSPARE(8) + next flag(1).  Same induction as the picture-level
-      // PEI loop above: every fixed-width read below is backed by real
-      // bits, so a stream truncated inside the GOB header is rejected
-      // exactly where the Python oracle's r.read() raises (round-4
-      // advisor finding: br_read zero-pads, so mid-GEI truncation used
-      // to terminate as a successfully parsed frame here while the
-      // oracle raised StreamError).
-      if (r.nbits - r.pos < 6) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
-      uint32_t gquant = br_read(&r, 5);
-      if (gquant == 0) { *err_bitpos = r.pos; return P64_ERR_FORBIDDEN; }
-      out_gquant[f * 12 + gi] = (int32_t)gquant;
-      while (br_read(&r, 1)) {  // GEI/GSPARE
-        if (r.nbits - r.pos < 9) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
-        br_read(&r, 8);
-      }
-      int quant = (int)gquant;
-      int addr = -1;
-      int prev_mvx = 0, prev_mvy = 0, prev_was_mc = 0;
-      // MB loop.  NOTE: a final MB can be as short as 6 bits and end flush
-      // with the byte boundary, so "fewer than 16 bits left" alone is NOT
-      // end-of-data -- only a start code or an all-zero tail is (mirrors
-      // entropy/parse.py::_parse_gob; the old `rem < 16` bail dropped a
-      // trailing MC-no-coeff macroblock).
-      for (;;) {
-        int64_t rem = r.nbits - r.pos;
-        // rem < 0 means a VLC peek zero-padded past EOF matched a code
-        // longer than the remaining real bits (possible for any code
-        // with trailing zero bits) and the skip overran -- that is a
-        // truncated stream, not a successful end-of-data.
-        if (rem < 0) { *err_bitpos = r.nbits; return P64_ERR_TRUNCATED; }
-        if (rem == 0) break;
-        if (rem >= 16 && br_peek(&r, 16) == 1) break;  // next start code
-        if (rem < 24 && br_peek(&r, (int)rem) == 0) break;  // zero-pad tail
-        uint32_t peek = br_peek(&r, 11);
-        int sym = t->mba_sym[peek];
-        int nb = t->mba_nbits[peek];
-        if (nb == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
-        r.pos += nb;
-        if (sym == 34) {
-          // stuffing fast path: minimum-rate streams can be mostly MBA
-          // stuffing ('00000001111' runs); greedily consume 4 codes per
-          // 44-bit peek, then singles.  Semantically identical to the
-          // per-code loop (the 11-bit stuffing code is a complete
-          // prefix-free MBA code).  A/B on a 96%-stuffing CIF stream:
-          // 11.6 -> 4.7 ms (119 -> 291 MB/s), ~2.4x.
-          const uint64_t kStuff4 = ((uint64_t)0xF << 33) |
-                                   ((uint64_t)0xF << 22) |
-                                   ((uint64_t)0xF << 11) | 0xF;
-          while (r.nbits - r.pos >= 44 && br_peek64(&r, 44) == kStuff4)
-            r.pos += 44;
-          while (r.nbits - r.pos >= 11 && br_peek(&r, 11) == 0xF)
-            r.pos += 11;
-          continue;
-        }
-        int gap = sym;
-        addr += gap;
-        if (addr >= kMbsPerGob) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
-        int raster = perm[gi * kMbsPerGob + addr];
-        // MTYPE
-        peek = br_peek(&r, 10);
-        int mt = t->mtype_sym[peek];
-        nb = t->mtype_nbits[peek];
-        if (nb == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
-        r.pos += nb;
-        const uint8_t* fl = t->mtype_flags + mt * 6;
-        int intra = fl[0];
-        if (fl[1]) {  // MQUANT
-          if (r.nbits - r.pos < 5) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
-          quant = (int)br_read(&r, 5);
-          if (quant == 0) { *err_bitpos = r.pos; return P64_ERR_FORBIDDEN; }
-        }
-        if (fl[2]) {  // MVD
-          int px = 0, py = 0;
-          if (gap == 1 && addr % 11 != 0 && prev_was_mc) {
-            px = prev_mvx;
-            py = prev_mvy;
-          }
-          int mvx, mvy;
-          peek = br_peek(&r, 11);
-          if (t->mvd_nbits[peek] == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
-          r.pos += t->mvd_nbits[peek];
-          if (mv_from_mvd(px, t->mvd_sym[peek] - 16, &mvx) != P64_OK) {
-            *err_bitpos = r.pos;
-            return P64_ERR_BAD_CODE;
-          }
-          peek = br_peek(&r, 11);
-          if (t->mvd_nbits[peek] == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
-          r.pos += t->mvd_nbits[peek];
-          if (mv_from_mvd(py, t->mvd_sym[peek] - 16, &mvy) != P64_OK) {
-            *err_bitpos = r.pos;
-            return P64_ERR_BAD_CODE;
-          }
-          // H.261 3.2.1: the MV window must stay inside the picture
-          // (the batched device MC path assumes it; round-4 review)
-          {
-            int mb_cols = is_cif ? 22 : 11;
-            int h = is_cif ? 288 : 144, w = is_cif ? 352 : 176;
-            int y0 = (raster / mb_cols) * 16, x0 = (raster % mb_cols) * 16;
-            if (y0 + mvy < 0 || y0 + mvy + 16 > h ||
-                x0 + mvx < 0 || x0 + mvx + 16 > w) {
-              *err_bitpos = r.pos;
-              return P64_ERR_BAD_MV;
-            }
-          }
-          out_mv[(f * 396 + raster) * 2] = mvx;
-          out_mv[(f * 396 + raster) * 2 + 1] = mvy;
-          prev_mvx = mvx;
-          prev_mvy = mvy;
-          prev_was_mc = 1;
-          out_mc[f * 396 + raster] = 1;
-          out_fil[f * 396 + raster] = fl[3];
-        } else {
-          prev_was_mc = 0;
-        }
-        int blockmask = 0;
-        int cbp = 0;
-        if (fl[4]) {  // CBP
-          peek = br_peek(&r, 9);
-          cbp = t->cbp_sym[peek];
-          nb = t->cbp_nbits[peek];
-          if (nb == 0) { *err_bitpos = r.pos; return P64_ERR_BAD_CODE; }
-          r.pos += nb;
-          blockmask = cbp;
-        } else if (fl[5]) {
-          cbp = 63;
-          blockmask = 63;
-        }
-        out_cbp[f * 396 + raster] = cbp;
-        for (int b = 0; b < 6; ++b) {
-          if ((blockmask >> (5 - b)) & 1) {
-            int rc = parse_block(
-                &r, t,
-                out_levels + (((int64_t)f * 396 + raster) * 6 + b) * 64,
-                intra);
-            if (rc != P64_OK) { *err_bitpos = r.pos; return rc; }
-          }
-        }
-        out_coded[f * 396 + raster] = 1;
-        out_intra[f * 396 + raster] = (uint8_t)intra;
-        out_quant[f * 396 + raster] = quant;
-      }
-      if (!more) break;
+      rc = parse_one_gob(&r, &c, f, is_cif, gi, perm, err_bitpos);
+      if (rc != P64_OK) return rc;
     }
   }
-  return f + 1;
 }
 
 }  // extern "C"

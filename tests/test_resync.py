@@ -1,0 +1,207 @@
+"""Decoder start-code resync (round-4 verdict item 2): corrupted or
+mid-stream-joined input must decode everything undamaged, with the Python
+oracle and the C++ engine agreeing bit-for-bit on arbitrary corrupt input
+(parse_stream(strict=False) == native.parse(resync=True)).
+
+The reference decoder scans forward for the next PSC/GBSC on damage
+(SURVEY section 3b "loop: mropen stream; scan for PSC"); strict mode --
+the default everywhere in tests -- still rejects at the first error.
+"""
+
+import numpy as np
+import pytest
+
+from helpers import random_frame_symbols
+from p64tpu.entropy import encode, parse
+from p64tpu.entropy.bitio import BitReader
+from p64tpu.native import load
+from p64tpu.spec.constants import QCIF
+
+native = load()
+
+FIELDS = ("gquant", "coded", "intra", "mc", "fil", "quant", "mv", "cbp",
+          "levels", "gob_damaged")
+
+
+def _stream(seed=5, t=4, **kw):
+    rng = np.random.default_rng(seed)
+    frames = [random_frame_symbols(QCIF, rng, tr=k, **kw) for k in range(t)]
+    data, _ = encode.serialize_sequence(QCIF, frames)
+    return data
+
+
+def _assert_equal_frames(a, b, msg=""):
+    assert a.fmt is b.fmt and a.tr == b.tr, msg
+    assert bool(a.damaged) == bool(b.damaged), msg
+    for f in FIELDS:
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                      err_msg=f"{msg}:{f}")
+
+
+def _both(data: bytes):
+    """Resync-parse with both engines, assert they agree, return frames."""
+    fp = parse.parse_stream(data, strict=False)
+    if native is not None:
+        fn = native.parse(data, resync=True)
+        assert len(fp) == len(fn)
+        for i, (a, b) in enumerate(zip(fp, fn)):
+            _assert_equal_frames(a, b, f"engine disagreement frame {i}")
+    return fp
+
+
+def _start_codes(data: bytes):
+    """(bit_pos, gn) of every start code in a clean stream."""
+    r = BitReader(data)
+    out = []
+    while parse._scan_start_code(r):
+        pos = r.pos
+        r.skip(16)
+        out.append((pos, r.read(4)))
+    return out
+
+
+def test_resync_equals_strict_on_clean_stream():
+    data = _stream()
+    clean = parse.parse_stream(data)
+    got = _both(data)
+    assert len(got) == len(clean)
+    for a, b in zip(clean, got):
+        assert not b.damaged and not b.gob_damaged.any()
+        for f in ("gquant", "coded", "intra", "mc", "fil", "quant", "mv",
+                  "cbp", "levels"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
+
+
+def test_resync_single_damaged_gob_keeps_everything_else():
+    """Zero out one GOB's GQUANT (forbidden value -> guaranteed damage) in
+    frame 1: exactly that GOB is flagged, its already-decoded MBs stay
+    uncoded-or-kept, and every other frame parses IDENTICAL to the clean
+    parse.  One flipped region no longer destroys the remaining frames."""
+    data = _stream()
+    clean = parse.parse_stream(data)
+    codes = _start_codes(data)
+    # GOB start codes of frame 1: after the second PSC (gn == 0)
+    psc_idx = [i for i, (_, gn) in enumerate(codes) if gn == 0]
+    target_idx = psc_idx[1] + 1          # first GOB of frame 1
+    pos, gn = codes[target_idx]
+    assert gn != 0
+    gi = {1: 0, 3: 1, 5: 2}[int(gn)]
+    bad = bytearray(data)
+    for bit in range(pos + 20, pos + 25):   # the 5 GQUANT bits -> 0
+        bad[bit // 8] &= ~(0x80 >> (bit % 8))
+    frames = _both(bytes(bad))
+    assert len(frames) == len(clean)
+    for k, (a, b) in enumerate(zip(clean, frames)):
+        if k != 1:
+            assert not b.damaged and not b.gob_damaged.any()
+            _assert_equal_frames(
+                b, a.__class__(**{**a.__dict__,
+                                  "gob_damaged": np.zeros(a.fmt.num_gobs,
+                                                          bool)}),
+                f"frame {k}")
+    dmg = frames[1]
+    assert dmg.damaged and dmg.gob_damaged[gi]
+    assert not dmg.gob_damaged[[i for i in range(3) if i != gi]].any()
+    # the other two GOBs of frame 1 must carry exactly the clean symbols
+    from p64tpu.core.blocks import transmission_order
+    perm = transmission_order(QCIF).reshape(3, 33)
+    for other in range(3):
+        if other == gi:
+            continue
+        mbs = perm[other]
+        np.testing.assert_array_equal(dmg.levels[mbs], clean[1].levels[mbs])
+        np.testing.assert_array_equal(dmg.coded[mbs], clean[1].coded[mbs])
+    # strict mode still rejects the same stream
+    with pytest.raises(parse.StreamError):
+        parse.parse_stream(bytes(bad))
+
+
+def test_resync_mid_stream_join():
+    """Garbage + a byte-aligned valid stream (a join mid-transmission):
+    resync finds the PSC and decodes stream B completely and cleanly."""
+    b_data = _stream(seed=9, t=3)
+    clean_b = parse.parse_stream(b_data)
+    joined = b"\xaa\x55\xfe" * 40 + b_data
+    frames = _both(joined)
+    # everything from B parses; the garbage may or may not synthesize a
+    # leading damaged picture, but B's pictures must all be at the tail
+    assert len(frames) >= len(clean_b)
+    tail = frames[len(frames) - len(clean_b):]
+    for a, b in zip(clean_b, tail):
+        assert not b.damaged
+        for f in ("gquant", "coded", "intra", "mc", "fil", "quant", "mv",
+                  "cbp", "levels"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
+    # strict mode rejects (no PSC at bit 0)
+    with pytest.raises(parse.StreamError):
+        parse.parse_stream(joined)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_resync_bitflip_engines_agree(seed):
+    """Random bit flips at every layer: resync never raises, outputs stay
+    in-range, and both engines agree exactly (incl. damage flags)."""
+    rng = np.random.default_rng(seed)
+    data = _stream(seed=11, t=3, p_mquant=0.2)
+    for trial in range(12):
+        bad = bytearray(data)
+        for _ in range(1 + trial % 5):
+            p = int(rng.integers(0, len(bad)))
+            bad[p] ^= 1 << int(rng.integers(0, 8))
+        frames = _both(bytes(bad))
+        for f in frames:
+            assert np.abs(f.mv).max(initial=0) <= 15
+            assert (f.quant[f.coded] >= 1).all()
+
+
+@pytest.mark.parametrize("kind", ["truncated", "garbage", "empty", "zeros"])
+def test_resync_never_raises(kind):
+    data = _stream(seed=3, t=2)
+    cases = dict(truncated=data[: len(data) // 2],
+                 garbage=b"\xff\x55" * 200,
+                 empty=b"",
+                 zeros=b"\x00" * 64)
+    frames = _both(cases[kind])
+    assert isinstance(frames, list)
+
+
+def test_resync_decode_conceals(tmp_path):
+    """End-to-end: a corrupted stream decodes under resync with all frames
+    present; the frame BEFORE the damage is bit-identical to the clean
+    decode (damage cannot propagate backwards), and the CLI's --resync
+    flag drives the same path (strict decode of the same file fails)."""
+    import jax
+
+    from p64tpu.cli import main
+    from p64tpu.core import encoder as enc
+    from p64tpu.core.decoder import decode_stream
+
+    rng = np.random.default_rng(17)
+    y = rng.integers(0, 256, (4, 144, 176), np.uint8)
+    frames_in = dict(y=y, cb=y[:, ::2, ::2], cr=y[:, 1::2, ::2])
+    cfg = enc.EncoderConfig(fmt=QCIF, search=2)
+    import jax.numpy as jnp
+    data, _, _ = enc.encode_to_bytes(
+        cfg, {k: jnp.asarray(v) for k, v in frames_in.items()})
+
+    codes = _start_codes(data)
+    psc_idx = [i for i, (_, gn) in enumerate(codes) if gn == 0]
+    pos, gn = codes[psc_idx[2] + 1]      # first GOB of frame 2
+    bad = bytearray(data)
+    for bit in range(pos + 20, pos + 25):
+        bad[bit // 8] &= ~(0x80 >> (bit % 8))
+
+    y_c, cb_c, cr_c, parsed_c = decode_stream(data)
+    y_d, cb_d, cr_d, parsed_d = decode_stream(bytes(bad), resync=True)
+    assert y_d.shape == y_c.shape
+    assert [p.damaged for p in parsed_d] == [False, False, True, False]
+    np.testing.assert_array_equal(y_d[:2], y_c[:2])
+    np.testing.assert_array_equal(cb_d[:2], cb_c[:2])
+
+    # CLI round trip
+    sp = tmp_path / "bad.p64"
+    sp.write_bytes(bytes(bad))
+    out = tmp_path / "dec.y4m"
+    assert main(["-d", "-s", str(sp), "-o", str(out)]) == 1        # strict
+    assert main(["-d", "-e", "-s", str(sp), "-o", str(out)]) == 0  # resync
+    assert out.exists()
