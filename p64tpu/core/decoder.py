@@ -27,20 +27,43 @@ from .reconstruct import reconstruct_frame
 def _decode_scan(fmt: Format, seq, init_y, init_cb, init_cr):
     def step(carry, fr):
         y, cb, cr = carry
+        # levels travel host->device at HALF width: int8 zigzag levels
+        # (every transmittable AC/inter level is +/-127 by spec) plus a
+        # uint8 intra-DC sidecar -- the decode-side mirror of the
+        # encoder's levels8/dc_intra split (round-4 verdict item 3; the
+        # levels tensor was the dominant decode H2D term).  Reassembly is
+        # one fused add on device: slot 0 of an intra block is 0 in
+        # levels8 and the sidecar is 0 everywhere else.
+        levels = fr["levels8"].astype(jnp.int32)
+        levels = levels.at[..., 0].add(fr["dc"].astype(jnp.int32))
         ny, ncb, ncr = reconstruct_frame(
-            fmt, fr["levels"], fr["quant"], fr["intra"], fr["mv"],
+            fmt, levels, fr["quant"], fr["intra"], fr["mv"],
             fr["fil"], y, cb, cr)
         return (ny, ncb, ncr), (ny, ncb, ncr)
 
     return jax.lax.scan(step, (init_y, init_cb, init_cr), seq)
 
 
+def split_levels(levels: np.ndarray, intra_mb: np.ndarray):
+    """(T, nMB, 6, 64) int16 levels -> (levels8 int8, dc uint8) halves.
+
+    Host-side mirror of the C++ parser's direct int8 output, for the
+    ParsedFrame paths.  intra_mb: (T, nMB) bool (intra & coded)."""
+    dc = np.where(intra_mb[..., None], levels[..., 0], 0).astype(np.uint8)
+    levels8 = levels.copy()
+    levels8[..., 0] = np.where(intra_mb[..., None], 0, levels[..., 0])
+    return levels8.astype(np.int8), dc
+
+
 def frames_to_tensors(frames: List[ParsedFrame]):
     """Stack parsed frames into (T, ...) device-ready arrays."""
+    intra = np.stack([f.intra & f.coded for f in frames])
+    levels8, dc = split_levels(np.stack([f.levels for f in frames]), intra)
     return dict(
-        levels=jnp.asarray(np.stack([f.levels for f in frames]), jnp.int32),
+        levels8=jnp.asarray(levels8),
+        dc=jnp.asarray(dc),
         quant=jnp.asarray(np.stack([f.quant for f in frames]), jnp.int32),
-        intra=jnp.asarray(np.stack([f.intra & f.coded for f in frames])),
+        intra=jnp.asarray(intra),
         mv=jnp.asarray(np.stack([f.mv for f in frames]), jnp.int32),
         fil=jnp.asarray(np.stack([f.fil & f.coded for f in frames])),
     )
@@ -139,11 +162,14 @@ def parse_to_tensors(data: bytes, resync: bool = False):
     if any(f.fmt is not fmt for f in frames):
         # same error contract as the native path
         raise StreamError("mixed picture formats in one sequence")
-    # dtypes match binding.parse_tensors (levels int16, tr int32)
+    # dtypes match binding.parse_tensors (levels8 int8 + dc uint8)
+    intra = np.stack([f.intra & f.coded for f in frames])
+    levels8, dc = split_levels(np.stack([f.levels for f in frames]), intra)
     seq = dict(
-        levels=np.stack([f.levels for f in frames]),
+        levels8=levels8,
+        dc=dc,
         quant=np.stack([f.quant for f in frames]).astype(np.int32),
-        intra=np.stack([f.intra & f.coded for f in frames]),
+        intra=intra,
         mv=np.stack([f.mv for f in frames]).astype(np.int32),
         fil=np.stack([f.fil & f.coded for f in frames]),
     )

@@ -199,7 +199,8 @@ class NativeBitIO:
                    ("intra", (396,), np.uint8), ("mc", (396,), np.uint8),
                    ("fil", (396,), np.uint8), ("quant", (396,), np.int32),
                    ("mv", (396, 2), np.int32), ("cbp", (396,), np.int32),
-                   ("levels", (396, 6, 64), np.int16),
+                   ("levels8", (396, 6, 64), np.int8),
+                   ("dc", (396, 6), np.uint8),
                    ("damage", (), np.int32))
 
     def _raw_parse(self, data: bytes, max_frames: int,
@@ -262,10 +263,14 @@ class NativeBitIO:
         m = fmt.num_mbs
         coded = out["coded"][:n, :m] != 0
         seq = dict(
-            # levels stay int16 VIEWS -- the device casts during dequant;
-            # an eager astype(int32) here would densify ~20 MB per 32-frame
-            # CIF stream of mostly-zero data (measured 4x parse slowdown)
-            levels=out["levels"][:n, :m],
+            # levels stay int8 VIEWS straight out of the C++ engine (plus
+            # the uint8 intra-DC sidecar) -- half the width of the old
+            # int16 tensor, halving the dominant decode H2D transfer; the
+            # device reassembles with one fused add (core/decoder.py
+            # _decode_scan).  No eager astype here: densifying a 32-frame
+            # CIF stream of mostly-zero data measured a 4x parse slowdown.
+            levels8=out["levels8"][:n, :m],
+            dc=out["dc"][:n, :m],
             quant=out["quant"][:n, :m],
             intra=(out["intra"][:n, :m] != 0) & coded,
             mv=out["mv"][:n, :m],
@@ -294,8 +299,15 @@ class NativeBitIO:
         # overshoot buffers) so retained frames are independent.
         c = (lambda a: a.copy()) if copy else (lambda a: a)
         (out_fmt, out_tr, out_gq, out_coded, out_intra, out_mc, out_fil,
-         out_quant, out_mv, out_cbp, out_levels, out_damage) = (
+         out_quant, out_mv, out_cbp, out_levels8, out_dc, out_damage) = (
             out[name] for name, _, _ in self._RAW_FIELDS)
+        # reassemble the ParsedFrame int16 levels contract (DC in slot 0)
+        # from the engine's int8 + DC-sidecar output in one vectorized
+        # pass; dc > 0 exactly marks parsed intra blocks (DC range 1..254)
+        out_levels = out_levels8[:n].astype(np.int16)
+        dcn = out_dc[:n]
+        out_levels[..., 0] = np.where(dcn > 0, dcn.astype(np.int16),
+                                      out_levels[..., 0])
         frames = []
         for f in range(n):
             fmt = CIF if out_fmt[f] else QCIF

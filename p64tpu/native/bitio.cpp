@@ -302,15 +302,21 @@ enum {
   P64_ERR_BAD_MV = -8,
 };
 
-static int parse_block(BitReader* r, const DecTables* t, int16_t* zz,
-                       int intra) {
+// Levels are written as int8 + a uint8 intra-DC sidecar, HALF the width
+// of the old int16 tensor: every transmittable AC/inter level fits int8
+// (escape field forbids 0x80 => |level| <= 127, spec LEVEL_CLAMP) and the
+// intra DC FLC is 1..254.  This mirrors the encoder's levels8/dc_intra
+// split (core/encoder.py) and halves the dominant decode host->device
+// transfer (round-4 verdict item 3).
+static int parse_block(BitReader* r, const DecTables* t, int8_t* zz,
+                       uint8_t* dc, int intra) {
   int pos = 0;
   int first = !intra;
   if (intra) {
     if (r->nbits - r->pos < 8) return P64_ERR_TRUNCATED;
     uint32_t code = br_read(r, 8);
     if (code == 0 || code == 128) return P64_ERR_FORBIDDEN;
-    zz[0] = (int16_t)(code == 255 ? 128 : code);
+    *dc = (uint8_t)(code == 255 ? 128 : code);
     pos = 1;
   }
   for (;;) {
@@ -341,7 +347,7 @@ static int parse_block(BitReader* r, const DecTables* t, int16_t* zz,
     }
     pos += run;
     if (pos > 63) return P64_ERR_BAD_CODE;
-    zz[pos] = (int16_t)level;
+    zz[pos] = (int8_t)level;
     pos += 1;
     first = 0;
     if (pos > 64) return P64_OK;
@@ -387,7 +393,8 @@ struct ParseCtx {
   int32_t* out_quant;          // [max_frames*396]
   int32_t* out_mv;             // [max_frames*396*2]
   int32_t* out_cbp;            // [max_frames*396]
-  int16_t* out_levels;         // [max_frames*396*6*64]
+  int8_t* out_levels8;         // [max_frames*396*6*64]
+  uint8_t* out_dc;             // [max_frames*396*6] intra DC sidecar
   int32_t* out_damage;         // [max_frames] bit 15 = frame-level damage,
                                //   bits 0..11 = per-GOB damage (resync only)
 };
@@ -416,8 +423,9 @@ static int picture_header(BitReader* r, ParseCtx* c, int64_t f,
   std::memset(c->out_cbp + f * 396, 0, 396 * 4);
   std::memset(c->out_mv + f * 396 * 2, 0, 396 * 2 * 4);
   std::memset(c->out_gquant + f * 12, 0, 12 * 4);
-  std::memset(c->out_levels + (int64_t)f * 396 * 6 * 64, 0,
-              (size_t)396 * 6 * 64 * 2);
+  std::memset(c->out_levels8 + (int64_t)f * 396 * 6 * 64, 0,
+              (size_t)396 * 6 * 64);
+  std::memset(c->out_dc + (int64_t)f * 396 * 6, 0, (size_t)396 * 6);
   for (int i = 0; i < 396; ++i) c->out_quant[f * 396 + i] = 1;
   c->out_damage[f] = 0;
   return P64_OK;
@@ -562,7 +570,8 @@ static int parse_one_gob(BitReader* rr, ParseCtx* c, int64_t f, int is_cif,
       if ((blockmask >> (5 - b)) & 1) {
         int rc = parse_block(
             &r, t,
-            c->out_levels + (((int64_t)f * 396 + raster) * 6 + b) * 64,
+            c->out_levels8 + (((int64_t)f * 396 + raster) * 6 + b) * 64,
+            c->out_dc + ((int64_t)f * 396 + raster) * 6 + b,
             intra);
         if (rc != P64_OK) { *err_bitpos = r.pos; return rc; }
       }
@@ -685,13 +694,15 @@ int64_t p64_parse(
     int32_t* out_quant,          // [max_frames*396]
     int32_t* out_mv,             // [max_frames*396*2]
     int32_t* out_cbp,            // [max_frames*396]
-    int16_t* out_levels,         // [max_frames*396*6*64]
+    int8_t* out_levels8,         // [max_frames*396*6*64]
+    uint8_t* out_dc,             // [max_frames*396*6]
     int32_t* out_damage,         // [max_frames]
     int64_t* err_bitpos) {
   BitReader r{data, n_bytes * 8, 0};
   ParseCtx c{t, perm_cif, perm_qcif, max_frames,
              out_fmt, out_tr, out_gquant, out_coded, out_intra, out_mc,
-             out_fil, out_quant, out_mv, out_cbp, out_levels, out_damage};
+             out_fil, out_quant, out_mv, out_cbp, out_levels8, out_dc,
+             out_damage};
   *err_bitpos = 0;
   if (resync) return parse_resync(&r, &c, err_bitpos);
   if (r.nbits < 20 || br_read(&r, 16) != 1 || br_read(&r, 4) != 0) {

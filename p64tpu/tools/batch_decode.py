@@ -55,7 +55,7 @@ def main(argv=None) -> int:
     # the encode side)
     groups = {}
     for i, (fmt, tr, seq) in enumerate(parsed):
-        groups.setdefault((fmt, seq["levels"].shape[0]), []).append(i)
+        groups.setdefault((fmt, seq["levels8"].shape[0]), []).append(i)
     planes = [None] * len(parsed)
     for (fmt, t), idxs in groups.items():
         if len(idxs) == 1:

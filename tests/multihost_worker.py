@@ -4,7 +4,8 @@ the distributed runtime, feeds only its LOCAL shard of streams, runs the
 global sharded encoder (collectives ride Gloo on CPU, ICI/DCN on TPU pods),
 serializes its local bitstreams, and allgathers per-stream bit lengths.
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port> <out.json>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> \
+           <out.json> [local_devices]
 """
 
 import hashlib
@@ -12,7 +13,7 @@ import json
 import os
 import sys
 
-LOCAL_DEVICES = 4
+LOCAL_DEVICES = 4       # default; arg 5 overrides (4-process variant uses 2)
 GLOBAL_STREAMS = 8
 FRAMES_T = 3
 # production config (round-2 verdict weak #5: the 2-process path used to run
@@ -38,9 +39,10 @@ def make_global_frames():
 def main() -> int:
     pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
+    local_devices = int(sys.argv[5]) if len(sys.argv) > 5 else LOCAL_DEVICES
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
+        f"--xla_force_host_platform_device_count={local_devices}")
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
@@ -58,7 +60,7 @@ def main() -> int:
 
     mh.initialize(f"127.0.0.1:{port}", nproc, pid)
     assert jax.process_count() == nproc, jax.process_count()
-    assert jax.device_count() == nproc * LOCAL_DEVICES
+    assert jax.device_count() == nproc * local_devices
 
     import jax.numpy as jnp
     cfg = enc.EncoderConfig(fmt=QCIF, search=SEARCH,

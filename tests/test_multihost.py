@@ -33,17 +33,24 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_distributed_encode(tmp_path):
+@pytest.mark.parametrize("nproc,ldev", [(2, 4), (4, 2)],
+                         ids=["2proc_x_4dev", "4proc_x_2dev"])
+def test_distributed_encode(tmp_path, nproc, ldev):
+    """nproc jax.distributed processes x ldev virtual devices = one
+    8-device global mesh.  The 4-process variant (round-4 verdict item 8)
+    exercises more allgather/shard-assembly permutations: 4 host shard
+    boundaries, 2 streams per host, different shard ordering."""
     port = _free_port()
-    outs = [str(tmp_path / f"w{i}.json") for i in range(2)]
+    outs = [str(tmp_path / f"w{i}.json") for i in range(nproc)]
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), "2", str(port), outs[i]],
+            [sys.executable, WORKER, str(i), str(nproc), str(port), outs[i],
+             str(ldev)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True)
-        for i in range(2)
+        for i in range(nproc)
     ]
     results = []
     for p in procs:
@@ -58,18 +65,18 @@ def test_two_process_distributed_encode(tmp_path):
         with open(path) as f:
             results.append(json.load(f))
 
-    r0, r1 = results
-    assert r0["global_devices"] == r1["global_devices"] == 8
-    # psum aggregates are replicated -- both hosts see identical totals
-    assert r0["total_bits"] == r1["total_bits"]
-    # rate control may skip frames; both hosts must agree, and every stream
+    assert all(r["global_devices"] == 8 for r in results)
+    # psum aggregates are replicated -- every host sees identical totals
+    assert len({r["total_bits"] for r in results}) == 1
+    # rate control may skip frames; all hosts must agree, and every stream
     # codes at least its first (intra) frame
-    assert r0["frames_coded"] == r1["frames_coded"] >= 8
-    # the length allgather sees all 8 streams on both hosts, in stream order
-    want_lengths = r0["local_bits"] + r1["local_bits"]
-    assert r0["gathered_lengths"] == want_lengths
-    assert r1["gathered_lengths"] == want_lengths
-    assert sum(want_lengths) == r0["total_bits"]
+    assert len({r["frames_coded"] for r in results}) == 1
+    assert results[0]["frames_coded"] >= 8
+    # the length allgather sees all 8 streams on every host, stream order
+    want_lengths = sum((r["local_bits"] for r in results), [])
+    for r in results:
+        assert r["gathered_lengths"] == want_lengths
+    assert sum(want_lengths) == results[0]["total_bits"]
 
     # ground truth: the same 8 streams encoded in THIS process (8 virtual
     # devices, single host) must give byte-identical per-stream bitstreams
@@ -84,5 +91,5 @@ def test_two_process_distributed_encode(tmp_path):
     batch = {k: np.asarray(v) for k, v in make_global_frames().items()}
     want = encode_shard(cfg, batch)
     want_sha = [hashlib.sha256(d).hexdigest() for d, _ in want]
-    assert r0["local_sha"] + r1["local_sha"] == want_sha
+    assert sum((r["local_sha"] for r in results), []) == want_sha
     assert [n for _, n in want] == want_lengths

@@ -164,9 +164,10 @@ def test_parse_adaptive_buffer_growth():
     want = parse.parse_stream(data)
     np.testing.assert_array_equal(got[69].levels, want[69].levels)
     fmt, tr, seq = parse_to_tensors(data)
-    assert fmt is QCIF and seq["levels"].shape[0] == 70
-    np.testing.assert_array_equal(np.asarray(seq["levels"][69]),
-                                  want[69].levels)
+    assert fmt is QCIF and seq["levels8"].shape[0] == 70
+    lv = seq["levels8"][69].astype(np.int16)
+    lv[..., 0] = np.where(seq["dc"][69] > 0, seq["dc"][69], lv[..., 0])
+    np.testing.assert_array_equal(lv, want[69].levels)
     # explicit small cap is honored
     from p64tpu.entropy.parse import StreamError
     with pytest.raises(StreamError):
