@@ -210,6 +210,9 @@ def main(argv=None) -> int:
 
     cfg = enc.EncoderConfig(
         fmt=fmt, search=max(args.search, 0), intra_only=args.search <= 0,
+        # production batch encode never fetches recon planes; not emitting
+        # them saves (T,H,W)x3 HBM per stream (EncoderConfig.emit_recon)
+        emit_recon=False,
         rate=RateConfig(bit_rate=args.rate, frame_rate=args.frame_rate,
                         fixed_quant=args.quant))
     n = len(paths)

@@ -144,3 +144,24 @@ def test_mquant_midgob_roundtrip():
     for i, p in enumerate(parsed):
         cc = p.coded & (p.cbp > 0)
         np.testing.assert_array_equal(p.quant[cc], qenc[i][cc])
+
+
+def test_emit_recon_false_identical_bits():
+    """emit_recon=False (the production batch-encode setting) must change
+    ONLY the output pytree -- the bitstream, bit counts, and carried state
+    stay identical, and no recon planes are emitted (saves (T,H,W)x3 HBM
+    per stream at scale; EncoderConfig.emit_recon)."""
+    rate = RateConfig(bit_rate=200_000, frame_rate=30)
+    frames = synthetic_frames(QCIF, 3)
+    base = encoder.EncoderConfig(fmt=QCIF, search=3, rate=rate)
+    lean = encoder.EncoderConfig(fmt=QCIF, search=3, rate=rate,
+                                 emit_recon=False)
+    d1, o1, _ = encoder.encode_to_bytes(base, frames)
+    d2, o2, _ = encoder.encode_to_bytes(lean, frames)
+    assert d1 == d2
+    assert not any(k.startswith("recon_") for k in o2)
+    np.testing.assert_array_equal(np.asarray(o1["total_bits"]),
+                                  np.asarray(o2["total_bits"]))
+    for k in ("levels8", "dc_intra", "mv", "gquant", "n_stuff"):
+        np.testing.assert_array_equal(np.asarray(o1[k]), np.asarray(o2[k]),
+                                      err_msg=k)
