@@ -201,7 +201,7 @@ def measure_decode(streams: int = 16, frames_t: int = 32, reps: int = 3,
 
     def parse_chunk(ch):
         parsed = fan_map(parse_to_tensors, ch)
-        assert all(s["levels"].shape[0] == frames_t for _, _, s in parsed)
+        assert all(s["levels8"].shape[0] == frames_t for _, _, s in parsed)
         return {k: jnp.stack([s[k] for _, _, s in parsed])
                 for k in parsed[0][2]}
 
@@ -258,7 +258,7 @@ def measure_decode(streams: int = 16, frames_t: int = 32, reps: int = 3,
 
 def measure_pipeline(streams: int = 64, frames_t: int = 32,
                      chunk: int = 16, reps: int = 3,
-                     quant: int = 10) -> dict:
+                     quant: int = 10, emit_recon: bool = True) -> dict:
     """End-to-end PRODUCTION encode wall-clock (round-3 verdict item 2):
     the pipelined batch_encode path -- chunked device encode, host fetch of
     the symbol tensors, threaded C++ finalize overlapped with the next
@@ -278,7 +278,7 @@ def measure_pipeline(streams: int = 64, frames_t: int = 32,
     from p64tpu.tools import batch_encode as be
 
     fmt = CIF
-    cfg = enc.EncoderConfig(fmt=fmt, search=15,
+    cfg = enc.EncoderConfig(fmt=fmt, search=15, emit_recon=emit_recon,
                             rate=RateConfig(fixed_quant=quant))
     batch = {k: np.asarray(v)
              for k, v in make_content(fmt, streams, frames_t).items()}
@@ -354,7 +354,8 @@ def measure_pipeline(streams: int = 64, frames_t: int = 32,
 
 
 def measure(config: str = "cif", streams: int = 16, frames_t: int = 32,
-            reps: int = 3, quant: int = 10) -> dict:
+            reps: int = 3, quant: int = 10,
+            emit_recon: bool = True) -> dict:
     """Time one benchmark configuration; returns a result dict.
 
     Configs (BASELINE.md round-2 breadth, VERDICT round-1 item 10):
@@ -389,7 +390,8 @@ def measure(config: str = "cif", streams: int = 16, frames_t: int = 32,
     else:
         rate = RateConfig(fixed_quant=quant)
     cfg = enc.EncoderConfig(fmt=fmt, search=15, rate=rate,
-                            intra_only=(config == "cif_intra"))
+                            intra_only=(config == "cif_intra"),
+                            emit_recon=emit_recon)
 
     # deterministic synthetic content with real motion
     rng = np.random.default_rng(0)

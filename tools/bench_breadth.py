@@ -82,10 +82,24 @@ def main() -> int:
                       f"{type(e).__name__}: {str(e)[:120]} |")
                 break
             rows.append((f"cif ({streams} streams)", r))
+    if want("reconab"):
+        # round-4 verdict weak #5 / item 4: does dropping the per-frame
+        # recon outputs (~0.9 GB HBM at 128 streams) move the knee?
+        for er in (True, False):
+            r = bench.measure("cif", streams=128, emit_recon=er)
+            rows.append((f"cif (128 streams, emit_recon={er})", r))
     if want("decode"):
         rows.append(("decode (16 streams)", bench.measure_decode()))
     if want("pipeline"):
         rows.append(("pipeline (64 streams)", bench.measure_pipeline()))
+    if want("pipeline128"):
+        # the production batch point (round-4 verdict item 4): pipeline at
+        # the measured 128-stream knee, recon off, two chunkings
+        for chunk in (16, 32):
+            r = bench.measure_pipeline(streams=128, chunk=chunk,
+                                       emit_recon=False)
+            rows.append((f"pipeline (128 streams, chunk {chunk}, "
+                         f"recon off)", r))
 
     print("| config | MB/s/chip | ms/run | total bits | compile s |")
     print("|---|---|---|---|---|")
