@@ -410,6 +410,145 @@ def sad_map_pallas_i8(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
     return jnp.where(valid, sads, jnp.int32(1 << 30))
 
 
+def _sad_kernel_swar(cur_ref, shifted_ref, pw_ref, out_ref, *, h, w, search):
+    """SWAR variant (round-4 verdict item 7, the time-boxed last attack on
+    the 4.0 ms floor): 4 pixels packed per int32 word -- 1 B/px of VMEM
+    traffic, half the bf16 kernel's bytes -- with the bytewise |a-b|
+    computed in int32 bitwise/arith ops (which Mosaic DOES lower, unlike
+    the i8/i16 elementwise ops rejected in rounds 3-4).
+
+    Per packed word pair (a, b), bytes are processed as two interleaved
+    16-bit-field pairs (bytes 0,2 and bytes 1,3 -> fields at bits 0 and
+    16).  For fields u, v in [0, 255]:
+
+        d1 = (u | 256) - v   in [1, 511]   (bit 8 set  iff u >= v)
+        d2 = (v | 256) - u   in [1, 511]   (bit 8 set  iff v >= u)
+        |u - v| = max(d1, d2) & 255        (the max is 256 + |u-v|)
+
+    max is selected with a per-field mask built from d1's bit 8 (one int32
+    multiply by 0xFFFF spreads the bit to a field mask).  No borrows cross
+    fields: all intermediates stay within their 16-bit field.  The two
+    pair-extracts are summed (fields <= 510), row-pooled by an exact f32
+    reshape-sum (<= 8160 < 2^24), unpacked, and column-pooled by one
+    hi/lo-split bf16 matmul over the packed-word axis (same exactness
+    argument as _sad_kernel_bf16).
+
+    Cost model vs the bf16 kernel: ~7 int ops/px (vs 2) but 1 B/px moved
+    (vs 2 B/px + the slab store + MXU re-read) -- a test of whether the
+    kernel is truly memory-issue-bound (roofline, BASELINE.md): if it is,
+    halving bytes should beat the extra ALU work.
+
+    MEASURED on v5e (round 5; 30-iter fori harness, 16 vmapped CIF
+    streams, search 15, same-session back-to-back): **swar 6.60 ms/iter
+    vs bf16 4.30 ms/iter -- 1.53x SLOWER** (hardware-EXACT vs the int64
+    oracle, so the formulation is correct; it is just not faster).  The
+    ~10 full-plane int-vector passes per dy (extract/bias/sub/mask/select
+    x 2 pair-lanes) out-cost the 2 bf16 passes they replace: the VPU
+    issues each SWAR op over the whole plane, so the kernel becomes
+    ALU-issue-bound at ~7 ops/px and the 2x byte saving never matters.
+    Together with round 4's Mosaic-rejected packed-i8 elementwise, this
+    closes the sub-bf16-width avenue from both directions (native i8 ops:
+    unlowereable; i32-SWAR emulation: ALU-bound).  The bf16 kernel's
+    ~4 ms stands as the defended toolchain floor.  Kept in-tree, gated by
+    the hardware parity suite, as the measured record."""
+    side = 2 * search + 1
+    wp = w // 4                     # packed words per row
+    mbc = w // MB_SIZE
+    rr = h // MB_SIZE
+    cur = cur_ref[...]                              # (h, wp) int32 packed
+    pw = pw_ref[...]                                # (wp, mbc) bf16
+    sh = shifted_ref[0]                             # (h + 2s, wp) int32
+
+    m00ff = jnp.int32(0x00FF00FF)
+    bias = jnp.int32(0x01000100)
+    bit8 = jnp.int32(0x00010001)
+
+    def pair_absdiff(a, b):
+        d1 = (a | bias) - b
+        d2 = (b | bias) - a
+        mask = ((jax.lax.shift_right_logical(d1, 8) & bit8)
+                * jnp.int32(0xFFFF))
+        return ((d1 & mask) | (d2 & ~mask)) & m00ff
+
+    rows_list = []
+    for dy in range(side):
+        win = sh[dy:dy + h, :]
+        a0 = cur & m00ff
+        b0 = win & m00ff
+        a1 = jax.lax.shift_right_logical(cur, 8) & m00ff
+        b1 = jax.lax.shift_right_logical(win, 8) & m00ff
+        ad = pair_absdiff(a0, b0) + pair_absdiff(a1, b1)   # fields <= 510
+        rows_list.append(ad.reshape(rr, MB_SIZE, wp).sum(axis=1))  # (R, wp)
+    rows = jnp.concatenate(rows_list, axis=0)       # (side*R, wp) int32
+    # unpack the two 16-bit field sums (each <= 8160) and fold
+    lo = rows & jnp.int32(0xFFFF)
+    hi = jax.lax.shift_right_logical(rows, 16)
+    v = (lo + hi).astype(jnp.float32)               # (side*R, wp) <= 16320
+    h6 = jnp.floor(v * (1.0 / 64.0))                # <= 255, bf16-exact
+    l6 = v - 64.0 * h6                              # <= 63, bf16-exact
+    stacked = jnp.concatenate([h6.astype(jnp.bfloat16),
+                               l6.astype(jnp.bfloat16)], axis=0)
+    part = jax.lax.dot(stacked, pw,
+                       preferred_element_type=jnp.float32)  # (2*side*R, mbc)
+    n = side * rr
+    out = 64.0 * part[:n] + part[n:]
+    out_ref[0] = out.reshape(side, rr, mbc)
+
+
+def _pack4(plane: jnp.ndarray) -> jnp.ndarray:
+    """(h, w) integer plane -> (h, w/4) int32, 4 bytes per word (byte k of
+    each word = pixel 4j+k), via uint32 arithmetic (byte 3 << 24 would
+    overflow int32)."""
+    p = plane.astype(jnp.uint32)
+    v = (p[:, 0::4] | (p[:, 1::4] << 8) | (p[:, 2::4] << 16)
+         | (p[:, 3::4] << 24))
+    return jax.lax.bitcast_convert_type(v, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("search", "interpret"))
+def sad_map_pallas_swar(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
+                        search: int = DEFAULT_SEARCH_RANGE,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Same contract as sad_map_pallas; packed-int32 SWAR data path (see
+    kernel docstring for the A/B record)."""
+    h, w = cur_y.shape
+    mb_rows, mb_cols = h // MB_SIZE, w // MB_SIZE
+    n_mb = mb_rows * mb_cols
+    side = 2 * search + 1
+
+    cur = _pack4(cur_y)
+    ref_pad = jnp.pad(ref_y.astype(jnp.int32), search)
+    shifted = jnp.stack([_pack4(ref_pad[:, dx:dx + w]) for dx in range(side)])
+    # packed-word -> MB column pooling matrix (w/4 words, 4 per MB)
+    pw = np.zeros((w // 4, mb_cols), np.float32)
+    for j in range(mb_cols):
+        pw[j * 4:(j + 1) * 4, j] = 1.0
+
+    out = pl.pallas_call(
+        functools.partial(_sad_kernel_swar, h=h, w=w, search=search),
+        grid=(side,),
+        in_specs=[
+            pl.BlockSpec((h, w // 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2 * search, w // 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w // 4, mb_cols), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, side, mb_rows, mb_cols),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((side, side, mb_rows, mb_cols),
+                                       jnp.float32),
+        interpret=interpret,
+    )(cur, shifted, jnp.asarray(pw, jnp.bfloat16))
+
+    sads = jnp.swapaxes(out, 0, 1).reshape(side * side, n_mb)
+    sads = sads.astype(jnp.int32)
+    valid = _me_validity(h, w, n_mb, mb_cols, search)
+    return jnp.where(valid, sads, jnp.int32(1 << 30))
+
+
 #: single home for the out-of-picture offset mask (round-4 dedup: four
 #: identical copies existed across me.py / me_pallas.py)
 _me_validity = _validity_mask

@@ -82,3 +82,17 @@ def test_sad_map_i8_parity(h, w, s):
     got = np.asarray(me_pallas.sad_map_pallas_i8(cur, ref, s,
                                                  interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("h,w,s", [(48, 64, 4), (144, 176, 7)])
+def test_sad_map_swar_parity(h, w, s):
+    """Packed-int32 SWAR variant (round-5 A/B: hardware-exact on v5e but
+    1.53x slower than the bf16 kernel -- 6.60 vs 4.30 ms per 16-stream
+    CIF sweep; ALU-issue-bound at ~7 int ops/px.  Kept as the measured
+    record that closes the sub-bf16-width avenue; see me_pallas.py)."""
+    cur = jnp.asarray(RNG.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.asarray(RNG.integers(0, 256, (h, w)), jnp.int32)
+    want = np.asarray(me.sad_map(cur, ref, s))
+    got = np.asarray(me_pallas.sad_map_pallas_swar(cur, ref, s,
+                                                   interpret=True))
+    np.testing.assert_array_equal(got, want)

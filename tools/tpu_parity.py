@@ -156,6 +156,8 @@ def check_sad() -> bool:
             # (round-4 verdict weak #1: each round some variant escaped
             # the gate; zero exceptions from round 5 on)
             "map": lambda: jax.jit(me.sad_map, static_argnums=2)(cj, rj, s),
+            # round-5 SWAR attempt (measured 1.53x slower; kept as record)
+            "pallas_swar": lambda: me_pallas.sad_map_pallas_swar(cj, rj, s),
         }
         for vname, fn in variants.items():
             got = np.asarray(fn()).astype(np.int64)
