@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--outdir", required=True)
     ap.add_argument("-f", "--frame-rate", type=int, default=30,
                     help="frame rate stamped into the .y4m headers")
+    ap.add_argument("-e", "--resync", action="store_true",
+                    help="start-code error recovery: conceal damaged "
+                         "GOBs/pictures and continue (default: strict)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -41,7 +44,8 @@ def main(argv=None) -> int:
     datas = [open(p, "rb").read() for p in paths]
     t0 = time.time()
     try:
-        parsed = fan_map(parse_to_tensors, datas)
+        parsed = fan_map(
+            lambda d: parse_to_tensors(d, resync=args.resync), datas)
     except (StreamError, ValueError) as e:
         print(f"batch_decode: invalid H.261 stream: {e}", file=sys.stderr)
         return 1
