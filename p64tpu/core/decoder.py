@@ -48,10 +48,21 @@ def split_levels(levels: np.ndarray, intra_mb: np.ndarray):
     """(T, nMB, 6, 64) int16 levels -> (levels8 int8, dc uint8) halves.
 
     Host-side mirror of the C++ parser's direct int8 output, for the
-    ParsedFrame paths.  intra_mb: (T, nMB) bool (intra & coded)."""
-    dc = np.where(intra_mb[..., None], levels[..., 0], 0).astype(np.uint8)
+    ParsedFrame paths.  intra_mb: (T, nMB) bool (intra & coded).
+
+    The sidecar mask is intra_mb OR slot0 > 127: a resync parse can keep
+    a PARTIALLY decoded intra MB whose DC (1..254) landed in slot 0 with
+    coded=False (damage struck mid-MB), and 128..254 would wrap in the
+    int8 cast -- a round-5 review repro showed the CLI decode path
+    diverging from the native sidecar path by up to 59 gray levels on
+    the same corrupted stream.  Any slot0 <= 127 is int8-safe wherever
+    it rides (device reassembly just adds the two halves), so the
+    value-based clause exactly covers the remaining wrap risk."""
+    slot0 = levels[..., 0]
+    to_dc = intra_mb[..., None] | (slot0 > 127)
+    dc = np.where(to_dc, slot0, 0).astype(np.uint8)
     levels8 = levels.copy()
-    levels8[..., 0] = np.where(intra_mb[..., None], 0, levels[..., 0])
+    levels8[..., 0] = np.where(to_dc, 0, slot0)
     return levels8.astype(np.int8), dc
 
 

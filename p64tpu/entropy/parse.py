@@ -195,19 +195,29 @@ def _scan_start_code(r: BitReader) -> bool:
     (20 bits total).  Returns True with r.pos AT the code, else False.
     In a zero run longer than 15 the match is the LAST 15 zeros before
     the 1 (the only offset whose bit 15 is a 1), matching the C++
-    scan_start_code."""
-    bits = r._bits
-    n = bits.size
-    start = max(r.pos, 0)
-    if start + 20 > n:
+    scan_start_code.
+
+    ALL start-code positions are computed once per reader (one vectorized
+    O(n) pass, cached on the BitReader) and each rescan is a binary
+    search -- a round-5 review finding: recomputing a full-stream cumsum
+    per damage event made Python resync O(bits x damage_events) with
+    ~8x-stream-size temporaries per rescan."""
+    cached = getattr(r, "_start_code_positions", None)
+    if cached is None:
+        bits = r._bits
+        n = bits.size
+        if n < 20:
+            cached = np.empty(0, np.int64)
+        else:
+            c = np.concatenate([[0], np.cumsum(bits)])
+            idx = np.arange(0, n - 19)
+            cached = idx[((c[idx + 15] - c[idx]) == 0)
+                         & (bits[idx + 15] == 1)]
+        r._start_code_positions = cached
+    j = np.searchsorted(cached, max(r.pos, 0))
+    if j >= cached.size:
         return False
-    c = np.concatenate([[0], np.cumsum(bits)])
-    idx = np.arange(start, n - 19)
-    hits = np.nonzero(((c[idx + 15] - c[idx]) == 0)
-                      & (bits[idx + 15] == 1))[0]
-    if hits.size == 0:
-        return False
-    r.pos = int(idx[hits[0]])
+    r.pos = int(cached[j])
     return True
 
 

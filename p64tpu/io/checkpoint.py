@@ -73,6 +73,15 @@ def load(path: str) -> Tuple[Dict[str, jnp.ndarray], List[bytes], Dict]:
     with np.load(path + ".npz") as z:
         state = {k[len(_STATE):]: jnp.asarray(z[k]) for k in z.files
                  if k.startswith(_STATE)}
+        if not state:
+            # round-5 review finding: a pre-round-5 three-file checkpoint
+            # (bare state keys, companion .bits/.json) would silently load
+            # as EMPTY state and a resume would re-encode from frame 0 --
+            # the exact failure class this module exists to prevent
+            raise ValueError(
+                f"{path}.npz is not a single-file p64tpu checkpoint "
+                f"(no 'state/' keys -- pre-round-5 layout? re-save with "
+                f"the current version)")
         meta = json.loads(z[_META].tobytes().decode()) if _META in z.files \
             else {}
         streams: List[bytes] = []

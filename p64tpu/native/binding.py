@@ -286,13 +286,15 @@ class NativeBitIO:
         their already-decoded MBs and are flagged in damaged/gob_damaged;
         corrupt input never raises).
 
-        Memory note: by default the frames' arrays are VIEWS into per-call
-        output buffers (adaptively sized to <= 4x the parsed frame count),
-        so retaining any single frame keeps the whole call's buffers alive.
-        Pass copy=True to get independent per-frame arrays if you retain
-        individual frames long-term (costs the per-frame copies the view
-        path exists to avoid -- round-3 decode bench: ~60 of 112 ms for
-        512 CIF frames)."""
+        Memory note: by default mv/cbp/quant/gquant arrays are VIEWS into
+        per-call output buffers (adaptively sized to <= 4x the parsed
+        frame count), so retaining any single frame keeps the whole
+        call's buffers alive; pass copy=True for independent per-frame
+        arrays.  `levels` is the exception since the engine went int8 +
+        DC-sidecar (round 5): the ParsedFrame int16 contract requires one
+        widening reassembly pass here (~2 bytes/coeff written; the hot
+        batched-decode path -- parse_tensors -- keeps zero-copy int8
+        views and reassembles on device instead)."""
         from ..entropy.parse import ParsedFrame
         n, out = self._raw_parse(data, max_frames, resync=resync)
         # copy=True compacts each frame's row-slices (NOT the whole 4x
@@ -301,13 +303,14 @@ class NativeBitIO:
         (out_fmt, out_tr, out_gq, out_coded, out_intra, out_mc, out_fil,
          out_quant, out_mv, out_cbp, out_levels8, out_dc, out_damage) = (
             out[name] for name, _, _ in self._RAW_FIELDS)
-        # reassemble the ParsedFrame int16 levels contract (DC in slot 0)
-        # from the engine's int8 + DC-sidecar output in one vectorized
-        # pass; dc > 0 exactly marks parsed intra blocks (DC range 1..254)
+        # reassemble the ParsedFrame int16 levels contract (DC in slot 0):
+        # one widening astype, then scatter only the DC slots (dc > 0
+        # exactly marks parsed intra blocks, range 1..254) -- no dense
+        # np.where temporary (round-5 review finding)
         out_levels = out_levels8[:n].astype(np.int16)
         dcn = out_dc[:n]
-        out_levels[..., 0] = np.where(dcn > 0, dcn.astype(np.int16),
-                                      out_levels[..., 0])
+        dmask = dcn > 0
+        out_levels[..., 0][dmask] = dcn[dmask]
         frames = []
         for f in range(n):
             fmt = CIF if out_fmt[f] else QCIF

@@ -120,3 +120,17 @@ def test_interrupted_save_leaves_old_checkpoint_loadable(tmp_path):
     checkpoint.save(ck, dict(frame_idx=jnp.asarray([2])), streams=[b"v2"])
     st, streams, _ = checkpoint.load(ck)
     assert streams == [b"v2"] and int(st["frame_idx"][0]) == 2
+
+
+def test_load_rejects_pre_round5_layout(tmp_path):
+    """A checkpoint whose .npz has bare state keys (the old three-file
+    layout) must raise loudly instead of silently loading empty state
+    (round-5 review finding: a resume would have re-encoded from frame 0
+    and discarded the streams-so-far)."""
+    import pytest
+
+    ck = str(tmp_path / "old")
+    np.savez_compressed(ck + ".npz", frame_idx=np.asarray([3]),
+                        buffer=np.asarray([7]))
+    with pytest.raises(ValueError, match="pre-round-5"):
+        checkpoint.load(ck)

@@ -205,3 +205,44 @@ def test_resync_decode_conceals(tmp_path):
     assert main(["-d", "-s", str(sp), "-o", str(out)]) == 1        # strict
     assert main(["-d", "-e", "-s", str(sp), "-o", str(out)]) == 0  # resync
     assert out.exists()
+
+
+def test_resync_partial_intra_dc_survives_both_decode_paths():
+    """Round-5 review finding: a damaged partial intra MB can keep a DC
+    of 128..254 in levels slot 0 with coded=False; the ParsedFrame ->
+    split_levels path used to wrap it in the int8 cast (up to 59 gray
+    levels of divergence from the native sidecar path on the SAME
+    stream).  Both decode paths must produce identical planes, and the
+    fixture must actually contain such a DC."""
+    import jax.numpy as jnp
+
+    from p64tpu.core import encoder as enc
+    from p64tpu.core.decoder import decode_seq, decode_stream, parse_to_tensors
+
+    rng = np.random.default_rng(2)
+    found = None
+    for trial in range(400):
+        y = rng.integers(150, 256, (2, 144, 176), np.uint8)  # bright -> DC>127
+        frames_in = dict(y=y, cb=y[:, ::2, ::2], cr=y[:, 1::2, ::2])
+        cfg = enc.EncoderConfig(fmt=QCIF, search=0, intra_only=True)
+        data, _, _ = enc.encode_to_bytes(
+            cfg, {k: jnp.asarray(v) for k, v in frames_in.items()})
+        bad = bytearray(data)
+        p = int(rng.integers(40, len(bad)))
+        bad[p] ^= 1 << int(rng.integers(0, 8))
+        parsed = _both(bytes(bad))
+        for f in parsed:
+            partial = ~(f.intra & f.coded)
+            if (partial[:, None] & (f.levels[..., 0] > 127)).any():
+                found = bytes(bad)
+                break
+        if found:
+            break
+    assert found is not None, "no trial produced a partial DC > 127; retune"
+
+    y1, cb1, cr1, _ = decode_stream(found, resync=True)   # ParsedFrame path
+    fmt, _, seq = parse_to_tensors(found, resync=True)    # sidecar path
+    y2, cb2, cr2 = decode_seq(fmt, seq)
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_array_equal(cb1, cb2)
+    np.testing.assert_array_equal(cr1, cr2)
