@@ -246,3 +246,47 @@ def test_resync_partial_intra_dc_survives_both_decode_paths():
     np.testing.assert_array_equal(y1, y2)
     np.testing.assert_array_equal(cb1, cb2)
     np.testing.assert_array_equal(cr1, cr2)
+
+
+def test_resync_mixed_format_stream_and_ptype_flip():
+    """A QCIF sequence concatenated with a CIF sequence (legal: each
+    picture header carries its own PTYPE) must parse identically in both
+    engines under resync, with the per-picture format/GOB-mapping rebound
+    at each header.  Also: flipping the PTYPE format bit of a QCIF frame
+    (making the parser read its GOBs as CIF) must keep both engines in
+    exact agreement -- format confusion is a realistic corruption mode."""
+    from p64tpu.spec.constants import CIF
+
+    qcif = _stream(seed=5, t=2)
+    rng = np.random.default_rng(31)
+    cif_frames = [random_frame_symbols(CIF, rng, tr=t, p_coded=0.1)
+                  for t in range(2)]
+    cif, _ = encode.serialize_sequence(CIF, cif_frames)
+
+    joined = qcif + cif
+    frames = _both(joined)
+    clean = parse.parse_stream(qcif) + parse.parse_stream(cif)
+    assert [f.fmt.name for f in frames] == [f.fmt.name for f in clean] \
+        == ["QCIF", "QCIF", "CIF", "CIF"]
+    for k, (a, b) in enumerate(zip(clean, frames)):
+        # the QCIF tail's byte-pad zeros sit in front of the CIF PSC, so
+        # the last QCIF frame legitimately takes a damage flag when the
+        # pad is non-empty (undecodable MBA data) -- its SYMBOLS must
+        # still equal the clean parse exactly (the error strikes after
+        # every real MB parsed); all other frames must be undamaged
+        if k != 1:
+            assert not b.damaged
+        np.testing.assert_array_equal(a.levels, b.levels)
+        np.testing.assert_array_equal(a.coded, b.coded)
+        np.testing.assert_array_equal(a.mv, b.mv)
+
+    # PTYPE format-bit flips at each picture header (bit 4 of PTYPE =
+    # stream bit 25+ after each PSC start): engines must agree exactly
+    codes = _start_codes(qcif)
+    for pos, gn in codes:
+        if gn != 0:
+            continue
+        bad = bytearray(qcif)
+        bit = pos + 20 + 5 + 3          # PSC(20) + TR(5) + 4th PTYPE bit
+        bad[bit // 8] ^= (0x80 >> (bit % 8))
+        _both(bytes(bad))               # asserts engine agreement inside
