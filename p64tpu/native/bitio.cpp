@@ -317,6 +317,13 @@ static int parse_block(BitReader* r, const DecTables* t, int8_t* zz,
     uint32_t code = br_read(r, 8);
     if (code == 0 || code == 128) return P64_ERR_FORBIDDEN;
     *dc = (uint8_t)(code == 255 ? 128 : code);
+    // last-writer-wins across REPARSES of the same block: resync can
+    // visit the same (MB, block) twice (a spliced/corrupted stream with
+    // a duplicate GN), and the Python oracle's slot 0 is a single int16
+    // cell where the last writer wins.  Keep the (levels8[0], dc) pair
+    // equivalent by clearing the other half on every slot-0 write --
+    // at most one of the two is ever nonzero (deep-fuzz finding).
+    zz[0] = 0;
     pos = 1;
   }
   for (;;) {
@@ -348,6 +355,7 @@ static int parse_block(BitReader* r, const DecTables* t, int8_t* zz,
     pos += run;
     if (pos > 63) return P64_ERR_BAD_CODE;
     zz[pos] = (int8_t)level;
+    if (pos == 0) *dc = 0;  // see the slot-0 last-writer note above
     pos += 1;
     first = 0;
     if (pos > 64) return P64_OK;

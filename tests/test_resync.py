@@ -290,3 +290,70 @@ def test_resync_mixed_format_stream_and_ptype_flip():
         bit = pos + 20 + 5 + 3          # PSC(20) + TR(5) + 4th PTYPE bit
         bad[bit // 8] ^= (0x80 >> (bit % 8))
         _both(bytes(bad))               # asserts engine agreement inside
+
+
+def _bit_splice(parts):
+    """Concatenate (data, start_bit, end_bit) ranges at the BIT level."""
+    from p64tpu.entropy.bitio import BitWriter
+
+    w = BitWriter()
+    for data, start, end in parts:
+        bits = np.unpackbits(np.frombuffer(data, np.uint8))[start:end]
+        s = "".join("1" if b else "0" for b in bits)
+        for i in range(0, len(s), 32):       # put() caps at 64 bits
+            w.put_str(s[i:i + 32])
+    return w.getvalue()
+
+
+def test_resync_reparsed_block_last_writer_wins():
+    """Deep-fuzz finding (round 5): resync can parse the same (MB, block)
+    TWICE (a spliced stream carrying a duplicate GN), and the native
+    engine's split slot-0 representation (levels8[0] + DC sidecar) kept a
+    STALE intra DC that overrode a later inter coefficient at reassembly
+    -- the Python oracle's single int16 cell takes the last writer.  Both
+    orders (intra-then-inter, inter-then-intra) must agree across engines
+    now, with slot 0 equal to the last writer's value."""
+    from p64tpu.entropy.encode import FrameSymbols
+
+    def one_mb_stream(intra: bool, level: int):
+        n = QCIF.num_mbs
+        levels = np.zeros((n, 6, 64), np.int16)
+        if intra:
+            levels[0, :, 0] = level            # DC > 127 exercises the wrap
+            mtype, cbp = 0, 63
+            f = FrameSymbols(
+                tr=0, gquant=np.full(3, 8, np.int32),
+                coded=np.eye(1, n, 0, dtype=bool)[0],
+                mtype=np.full(n, mtype, np.int32),
+                mv=np.zeros((n, 2), np.int32),
+                cbp=np.full(n, cbp, np.int32), levels=levels)
+        else:
+            levels[0, 0, 0] = level            # run-0 first coefficient
+            from p64tpu.spec.tables import MTYPE_BY_NAME
+            f = FrameSymbols(
+                tr=0, gquant=np.full(3, 8, np.int32),
+                coded=np.eye(1, n, 0, dtype=bool)[0],
+                mtype=np.full(n, MTYPE_BY_NAME["inter"], np.int32),
+                mv=np.zeros((n, 2), np.int32),
+                cbp=np.full(n, 32, np.int32), levels=levels)
+        data, nbits = encode.serialize_sequence(QCIF, [f])
+        return data, nbits
+
+    from p64tpu.spec.tables import MTYPE_BY_NAME
+    a, a_bits = one_mb_stream(True, 200)       # intra, DC 200
+    b, b_bits = one_mb_stream(False, 52)       # inter, slot0 level 52
+    for first, second, want in ((a, b, 52), (b, a, 200)):
+        f_bits = int(np.unpackbits(np.frombuffer(first, np.uint8)).size)
+        codes_2 = _start_codes(second)
+        gob_start = next(p for p, gn in codes_2 if gn != 0)
+        s_bits = int(np.unpackbits(np.frombuffer(second, np.uint8)).size)
+        # first stream in full (its own pad) + second stream's GOB section
+        spliced = _bit_splice([
+            (first, 0, (len(first) * 8)),
+            (second, gob_start, len(second) * 8),
+        ])
+        frames = _both(spliced)
+        assert len(frames) == 1
+        assert int(frames[0].levels[0, 0, 0]) == want, (
+            f"slot0 last-writer: want {want}, got "
+            f"{int(frames[0].levels[0, 0, 0])}")
