@@ -78,7 +78,7 @@ def main() -> int:
             p_coded=0.25 if fmt is CIF else 0.7) for t in range(3)]
         streams.append(encode.serialize_sequence(fmt, fr)[0])
 
-    rng = np.random.default_rng(999)
+    rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "999")))
     t0 = time.time()
     n = 0
     while time.time() - t0 < budget:
