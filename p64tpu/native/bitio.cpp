@@ -445,20 +445,21 @@ static int parse_one_gob(BitReader* rr, ParseCtx* c, int64_t f, int is_cif,
                          int gi, const int32_t* perm, int64_t* err_bitpos) {
   const DecTables* t = c->t;
   BitReader& r = *rr;
-  // GQUANT(5) + first GEI flag(1); then each taken GEI needs
-  // GSPARE(8) + next flag(1).  Same induction as the picture-level
-  // PEI loop above: every fixed-width read below is backed by real
-  // bits, so a stream truncated inside the GOB header is rejected
-  // exactly where the Python oracle's r.read() raises (round-4
-  // advisor finding: br_read zero-pads, so mid-GEI truncation used
-  // to terminate as a successfully parsed frame here while the
-  // oracle raised StreamError).
-  if (r.nbits - r.pos < 6) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
+  // GQUANT(5), then the GEI/GSPARE loop, guarded PER READ to mirror
+  // the Python oracle's r.read() exactly -- including PARTIAL STATE on
+  // truncation (round-4 advisor finding made truncation rejected at
+  // all; a round-5 fresh-seed fuzz then caught the remaining subtlety:
+  // with exactly 5 bits left the oracle records GQUANT before failing
+  // on the GEI flag, so a combined GQUANT+flag guard here left
+  // out_gquant unwritten and the resync outputs diverged).
+  if (r.nbits - r.pos < 5) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
   uint32_t gquant = br_read(&r, 5);
   if (gquant == 0) { *err_bitpos = r.pos; return P64_ERR_FORBIDDEN; }
   c->out_gquant[f * 12 + gi] = (int32_t)gquant;
-  while (br_read(&r, 1)) {  // GEI/GSPARE
-    if (r.nbits - r.pos < 9) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
+  for (;;) {  // GEI/GSPARE
+    if (r.nbits - r.pos < 1) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
+    if (!br_read(&r, 1)) break;
+    if (r.nbits - r.pos < 8) { *err_bitpos = r.pos; return P64_ERR_TRUNCATED; }
     br_read(&r, 8);
   }
   int quant = (int)gquant;

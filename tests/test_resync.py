@@ -357,3 +357,33 @@ def test_resync_reparsed_block_last_writer_wins():
         assert int(frames[0].levels[0, 0, 0]) == want, (
             f"slot0 last-writer: want {want}, got "
             f"{int(frames[0].levels[0, 0, 0])}")
+
+
+def test_resync_gquant_recorded_before_truncated_gei():
+    """Fresh-seed fuzz finding (round 5): with the stream ending exactly
+    after GQUANT, the oracle records GQUANT and then fails reading the
+    GEI flag -- the native engine's combined GQUANT+flag truncation
+    guard left out_gquant unwritten, diverging the resync outputs.  The
+    GOB-header guards are now per-read; both engines must keep
+    gquant[0] on this crafted stream (PSC + 7 PEI spares + GBSC + GN=1 +
+    GQUANT=12 = exactly 15 bytes)."""
+    from p64tpu.entropy.bitio import BitWriter
+
+    w = BitWriter()
+    w.put_str("0000000000000001" + "0000")    # PSC
+    w.put_str("00000")                        # TR
+    w.put_str("001000")                       # PTYPE (QCIF)
+    for _ in range(7):                        # 7 PEI spares -> byte-flush
+        w.put_str("1" + "10100101")
+    w.put_str("0")                            # PEI = 0
+    w.put_str("0000000000000001" + "0001")    # GBSC + GN=1
+    w.put_str("01100")                        # GQUANT = 12
+    data = w.getvalue()
+    assert len(data) * 8 == w.nbits == 120    # flush: GEI flag is past EOF
+
+    frames = _both(data)                      # engines must agree exactly
+    assert len(frames) == 1
+    assert frames[0].damaged and frames[0].gob_damaged[0]
+    assert int(frames[0].gquant[0]) == 12
+    with pytest.raises(parse.StreamError):
+        parse.parse_stream(data)              # strict still rejects
